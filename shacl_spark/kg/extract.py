@@ -1,0 +1,242 @@
+"""Mention detection & triple extraction (SURVEY.md §2.A A2–A6).
+
+Execution model per BASELINE.json:6/15 — "vectorized Arrow UDFs doing
+batched mention detection … no per-row Python":
+
+1. ONE Arrow-batched pandas UDF (``_mentions_udf``) turns a batch of
+   file contents into ``array<struct<kind,name,extra>>`` using
+   precompiled regexes applied with ``pd.Series.str.extractall`` over
+   the whole batch (vectorized; the only Python stage in the pipeline).
+2. Everything else — IRI minting, provenance, datatypes, the sha256
+   identity — is built-in Column expressions (whole-stage codegen).
+
+The plan is narrow end-to-end: scan → UDF → explode → select.  No
+shuffle until dedup.  ``content`` is dropped immediately after the UDF
+so column pruning keeps the wide column out of every downstream stage.
+"""
+
+from __future__ import annotations
+
+import re
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shacl_spark.functions.terms import (
+    KG,
+    RDF_TYPE,
+    XSD_STRING,
+    file_iri,
+    module_iri,
+    repo_iri,
+)
+
+# --- regexes (shared with tests/oracle.py so oracle parity is by-construction)
+
+PY_IMPORT_RE = re.compile(r"^import\s+(\w+)", re.M)
+PY_FROM_RE = re.compile(r"^from\s+(\w+)\s+import", re.M)
+PY_CLASS_RE = re.compile(r"^class\s+(\w+)\s*(?:\(\s*([\w.]*)\s*\))?\s*:", re.M)
+PY_DEF_RE = re.compile(r"^(?:async\s+)?def\s+(\w+)\s*\(", re.M)
+PY_CALL_RE = re.compile(r"(?<![\w.])(\w+)\s*\(")
+PY_KEYWORDS = frozenset(
+    "and as assert async await break class continue def del elif else except finally "
+    "for from global if import in is lambda nonlocal not or pass raise return try "
+    "while with yield print".split()
+)
+
+JS_REQUIRE_RE = re.compile(r"""require\(\s*['"]([\w./-]+)['"]\s*\)""")
+JS_IMPORT_RE = re.compile(r"""^import\s+.*?from\s+['"]([\w./-]+)['"]""", re.M)
+JS_CLASS_RE = re.compile(r"\bclass\s+(\w+)(?:\s+extends\s+([\w.]+))?", re.M)
+JS_FUNC_RE = re.compile(r"\bfunction\s+(\w+)\s*\(")
+JS_CALL_RE = re.compile(r"(?<![\w.])(\w+)\s*\(")
+JS_KEYWORDS = frozenset(
+    "function return if else for while switch case const let var class extends "
+    "require new typeof instanceof catch".split()
+)
+
+MENTION_SCHEMA = T.ArrayType(
+    T.StructType(
+        [
+            T.StructField("kind", T.StringType(), False),  # import|class|func|call
+            T.StructField("name", T.StringType(), False),
+            T.StructField("extra", T.StringType(), True),  # class base, if any
+        ]
+    )
+)
+
+
+def _collect(acc: dict[int, list], matches: pd.DataFrame, kind: str, with_extra: bool) -> None:
+    """Fold an ``extractall`` result (MultiIndex [row, match]) into acc."""
+    if matches.empty:
+        return
+    rows = matches.index.get_level_values(0)
+    names = matches[0].to_numpy()
+    extras = matches[1].to_numpy() if with_extra and 1 in matches.columns else None
+    for k in range(len(rows)):
+        extra = extras[k] if extras is not None else None
+        if isinstance(extra, float):  # NaN from non-participating group
+            extra = None
+        acc[rows[k]].append((kind, names[k], extra))
+
+
+def extract_mentions_batch(content: pd.Series, lang: pd.Series) -> pd.Series:
+    """Batched mention detection — the vectorized core, also used directly
+    by tests for parity with the Spark plan."""
+    content = content.reset_index(drop=True)
+    lang = lang.reset_index(drop=True)
+    acc: dict[int, list] = {i: [] for i in range(len(content))}
+
+    for mask, imp_res, cls_re, def_re, call_re, kws in (
+        (lang == "python", [PY_IMPORT_RE, PY_FROM_RE], PY_CLASS_RE, PY_DEF_RE, PY_CALL_RE, PY_KEYWORDS),
+        (lang == "javascript", [JS_REQUIRE_RE, JS_IMPORT_RE], JS_CLASS_RE, JS_FUNC_RE, JS_CALL_RE, JS_KEYWORDS),
+    ):
+        sub = content[mask]
+        if sub.empty:
+            continue
+        for imp_re in imp_res:
+            _collect(acc, sub.str.extractall(imp_re), "import", False)
+        _collect(acc, sub.str.extractall(cls_re), "class", True)
+        _collect(acc, sub.str.extractall(def_re), "func", False)
+        # call sites: every name( token minus keywords and this file's defs
+        calls = sub.str.extractall(call_re)
+        if not calls.empty:
+            defined: dict[int, set] = {
+                i: {m[1] for m in acc[i] if m[0] in ("func", "class")} for i in sub.index
+            }
+            rows = calls.index.get_level_values(0)
+            names = calls[0].to_numpy()
+            seen: set[tuple[int, str]] = set()
+            for k in range(len(rows)):
+                i, nm = rows[k], names[k]
+                if nm in kws or nm in defined.get(i, ()) or (i, nm) in seen:
+                    continue
+                seen.add((i, nm))
+                acc[i].append(("call", nm, None))
+    return pd.Series([acc[i] for i in range(len(content))])
+
+
+@F.pandas_udf(MENTION_SCHEMA)
+def _mentions_udf(content: pd.Series, lang: pd.Series) -> pd.Series:
+    return extract_mentions_batch(content, lang)
+
+
+# --- Spark-side triple builders ---------------------------------------------
+
+
+def _part_id(n_parts: int = 1024) -> Column:
+    """Deterministic extraction partition id (checkpoint/resume key, A14).
+
+    A pure function of the file identity — NOT spark_partition_id(),
+    which would vary with physical partitioning and break resumability.
+    """
+    return F.pmod(F.xxhash64("repo", "path", "commit"), F.lit(n_parts)).cast("int")
+
+
+def _t(subj: Column, pred: Column | str, obj: Column,
+       kind: str = "iri", dt: str | None = None) -> Column:
+    """One triple as a struct expression (for array-of-triples emission)."""
+    pred_c = F.lit(pred) if isinstance(pred, str) else pred
+    return F.struct(
+        subj.alias("subj"),
+        pred_c.alias("pred"),
+        obj.alias("obj"),
+        F.lit(kind).alias("obj_kind"),
+        F.lit(dt).cast("string").alias("obj_dt"),
+        F.lit(None).cast("string").alias("obj_lang"),
+    )
+
+
+def _finish(df: DataFrame, triples_array: Column) -> DataFrame:
+    """Explode an array-of-triples column and append lineage (single pass —
+    the upstream scan/UDF runs exactly once, not once per triple kind)."""
+    return df.select(
+        F.explode(triples_array).alias("t"),
+        F.col("repo").alias("src_repo"),
+        F.col("path").alias("src_path"),
+        F.col("commit").alias("src_commit"),
+        F.col("part_id"),
+    ).select("t.*", "src_repo", "src_path", "src_commit", "part_id")
+
+
+def provenance_triples(corpus: DataFrame, n_parts: int = 1024) -> DataFrame:
+    """A6: repo/commit/sha256/type provenance — pure column ops, codegen'd.
+
+    One projection emits all five triples per file as an array, then one
+    explode — a single narrow pass over the scan.
+    """
+    base = corpus.withColumn("file", file_iri()).withColumn("part_id", _part_id(n_parts))
+    f = F.col("file")
+    arr = F.array(
+        _t(f, RDF_TYPE, F.lit(KG + "File")),
+        _t(f, KG + "inRepo", repo_iri("repo")),
+        _t(f, KG + "atCommit", F.col("commit"), "literal", XSD_STRING),
+        _t(f, KG + "sha256", F.sha2(F.col("content"), 256), "literal", XSD_STRING),
+        _t(f, KG + "lang", F.col("lang"), "literal", XSD_STRING),
+    )
+    return _finish(base, arr)
+
+
+def mention_triples(corpus: DataFrame, n_parts: int = 1024) -> DataFrame:
+    """A2–A5: one pandas-UDF stage → one explode → one per-kind projection.
+
+    The per-mention triple fan-out is a CASE expression producing an
+    array<struct>, so the Arrow UDF executes exactly once per file and
+    the whole stage stays narrow (no shuffle, no plan-branch recompute).
+    """
+    m = (
+        corpus.withColumn("file", file_iri())
+        .withColumn("part_id", _part_id(n_parts))
+        .select("repo", "path", "commit", "part_id", "file",
+                F.explode(_mentions_udf("content", "lang")).alias("mention"))
+        .select("repo", "path", "commit", "part_id", "file",
+                F.col("mention.kind").alias("kind"),
+                F.col("mention.name").alias("name"),
+                F.col("mention.extra").alias("extra"))
+    )
+    f = F.col("file")
+    sym = F.concat(f, F.lit("#"), F.col("name"))
+    mention_ref = F.concat(F.lit(KG + "mention/"), F.col("extra"))
+
+    fanout = (
+        F.when(F.col("kind") == "import",
+               F.array(_t(f, KG + "imports", module_iri("name"))))
+        .when(F.col("kind") == "class",
+              F.when(
+                  F.col("extra").isNotNull() & ~F.col("extra").isin("object", ""),
+                  F.array(
+                      _t(sym, RDF_TYPE, F.lit(KG + "Class")),
+                      _t(f, KG + "defines", sym),
+                      _t(sym, KG + "name", F.col("name"), "literal", XSD_STRING),
+                      _t(sym, KG + "extends", mention_ref),
+                  ),
+              ).otherwise(
+                  F.array(
+                      _t(sym, RDF_TYPE, F.lit(KG + "Class")),
+                      _t(f, KG + "defines", sym),
+                      _t(sym, KG + "name", F.col("name"), "literal", XSD_STRING),
+                  )
+              ))
+        .when(F.col("kind") == "func",
+              F.array(
+                  _t(sym, RDF_TYPE, F.lit(KG + "Function")),
+                  _t(f, KG + "defines", sym),
+                  _t(sym, KG + "name", F.col("name"), "literal", XSD_STRING),
+              ))
+        .otherwise(  # call
+            F.array(_t(f, KG + "calls", F.concat(F.lit(KG + "mention/"), F.col("name")))))
+    )
+    return _finish(m, fanout)
+
+
+def extract_triples(corpus: DataFrame, n_parts: int = 1024) -> DataFrame:
+    """A2–A6 + A12 dedup: the full extraction stage.
+
+    ``dropDuplicates`` on the term columns is the single shuffle of the
+    extraction phase.  At cluster scale the shuffle key distribution is
+    the triple identity — effectively uniform (content-addressed), so no
+    skew handling is needed here.
+    """
+    all_triples = provenance_triples(corpus, n_parts).unionByName(mention_triples(corpus, n_parts))
+    return all_triples.dropDuplicates(["subj", "pred", "obj", "obj_dt", "obj_lang"])
