@@ -1,0 +1,391 @@
+"""SHACL fixture cases (FIXTURES.md §2): data triples + shapes triples
+per constraint component, one conforming / one violating variant each,
+plus shacl-shacl-style metamodel cases.
+
+Rows are (subj, pred, obj[, obj_kind[, obj_dt[, obj_lang]]]);
+obj_kind defaults to 'iri'.  List nodes are skolem IRIs (no blank
+nodes anywhere in this engine — SURVEY.md §1.2).
+"""
+
+from __future__ import annotations
+
+from shacl_spark.functions.terms import RDF, RDFS, SH, XSD
+
+T = RDF + "type"
+SCO = RDFS + "subClassOf"
+XS = XSD
+FIRST, REST, NIL = RDF + "first", RDF + "rest", RDF + "nil"
+
+
+def rdf_list(prefix: str, terms) -> list[tuple]:
+    """Encode a python list as skolemized rdf:first/rest triples;
+    terms are (value, kind, dt) tuples or plain IRI strings."""
+    rows = []
+    n = len(terms)
+    for i, t in enumerate(terms):
+        node = f"{prefix}/{i}"
+        if isinstance(t, str):
+            rows.append((node, FIRST, t))
+        else:
+            rows.append((node, FIRST, t[0], t[1], t[2] if len(t) > 2 else None))
+        nxt = f"{prefix}/{i+1}" if i + 1 < n else NIL
+        rows.append((node, REST, nxt))
+    return rows
+
+
+def _lit(v, dt=XS + "integer"):
+    return (v, "literal", dt)
+
+
+CASES: dict[str, dict] = {}
+
+
+def case(name: str, data: list, shapes: list) -> None:
+    CASES[name] = {"data": data, "shapes": shapes}
+
+
+# ---- cardinality -----------------------------------------------------------
+
+_PERSONS = [
+    ("ex:alice", T, "ex:Person"),
+    ("ex:alice", "ex:name", "Alice", "literal", XS + "string"),
+    ("ex:bob", T, "ex:Person"),
+    ("ex:carol", T, "ex:Person"),
+    ("ex:carol", "ex:name", "C1", "literal", XS + "string"),
+    ("ex:carol", "ex:name", "C2", "literal", XS + "string"),
+]
+_NAME_SHAPE = [
+    ("ex:S", T, SH + "NodeShape"),
+    ("ex:S", SH + "targetClass", "ex:Person"),
+    ("ex:S", SH + "property", "ex:SName"),
+    ("ex:SName", SH + "path", "ex:name"),
+]
+case("mincount_missing", _PERSONS,
+     _NAME_SHAPE + [("ex:SName", SH + "minCount", "1", "literal", XS + "integer")])
+case("maxcount_exceeded", _PERSONS,
+     _NAME_SHAPE + [("ex:SName", SH + "maxCount", "1", "literal", XS + "integer")])
+case("mincount_ok",
+     [("ex:a", T, "ex:Person"), ("ex:a", "ex:name", "A", "literal", XS + "string")],
+     _NAME_SHAPE + [("ex:SName", SH + "minCount", "1", "literal", XS + "integer")])
+
+# ---- value type ------------------------------------------------------------
+
+case("datatype_int_illformed",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:age", "12", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:age", "twelve", "literal", XS + "integer"),
+      ("ex:c", T, "ex:Thing"), ("ex:c", "ex:age", "12", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:age"),
+      ("ex:SP", SH + "datatype", XS + "integer")])
+
+case("class_value_wrong_type",
+     [("ex:acme", T, "ex:Company"),
+      ("ex:acme", "ex:ceo", "ex:jane"),
+      ("ex:jane", T, "ex:Manager"),
+      ("ex:Manager", SCO, "ex:Person"),
+      ("ex:globex", T, "ex:Company"),
+      ("ex:globex", "ex:ceo", "ex:robot"),
+      ("ex:robot", T, "ex:Machine")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Company"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:ceo"),
+      ("ex:SP", SH + "class", "ex:Person")])
+
+case("nodekind_iri_vs_literal",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:link", "ex:other"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:link", "not-an-iri", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:link"),
+      ("ex:SP", SH + "nodeKind", SH + "IRI")])
+
+# ---- ranges ----------------------------------------------------------------
+
+case("range_bounds",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:score", "5", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:score", "15", "literal", XS + "integer"),
+      ("ex:c", T, "ex:Thing"), ("ex:c", "ex:score", "0", "literal", XS + "integer"),
+      ("ex:d", T, "ex:Thing"), ("ex:d", "ex:score", "abc", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:score"),
+      ("ex:SP", SH + "minExclusive", "0", "literal", XS + "integer"),
+      ("ex:SP", SH + "maxInclusive", "10", "literal", XS + "integer")])
+
+# ---- string based ----------------------------------------------------------
+
+case("length_and_pattern",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:code", "AB-12", "literal", XS + "string"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:code", "x", "literal", XS + "string"),
+      ("ex:c", T, "ex:Thing"), ("ex:c", "ex:code", "toolongcode123", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:code"),
+      ("ex:SP", SH + "minLength", "2", "literal", XS + "integer"),
+      ("ex:SP", SH + "maxLength", "8", "literal", XS + "integer"),
+      ("ex:SP", SH + "pattern", "^[A-Z]{2}-\\d+$", "literal", XS + "string")])
+
+case("pattern_flags",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:code", "ab-12", "literal", XS + "string"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:code", "zz99", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:code"),
+      ("ex:SP", SH + "pattern", "^[A-Z]{2}-\\d+$", "literal", XS + "string"),
+      ("ex:SP", SH + "flags", "i", "literal", XS + "string")])
+
+case("uniquelang_dup",
+     [("ex:a", T, "ex:Thing"),
+      ("ex:a", "ex:label", "hello", "literal", RDF + "langString", "en"),
+      ("ex:a", "ex:label", "hi", "literal", RDF + "langString", "en"),
+      ("ex:b", T, "ex:Thing"),
+      ("ex:b", "ex:label", "hola", "literal", RDF + "langString", "es"),
+      ("ex:b", "ex:label", "hello", "literal", RDF + "langString", "en")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:label"),
+      ("ex:SP", SH + "uniqueLang", "true", "literal", XS + "boolean")])
+
+case("languagein",
+     [("ex:a", T, "ex:Thing"),
+      ("ex:a", "ex:label", "hello", "literal", RDF + "langString", "en-US"),
+      ("ex:b", T, "ex:Thing"),
+      ("ex:b", "ex:label", "bonjour", "literal", RDF + "langString", "fr")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:label"),
+      ("ex:SP", SH + "languageIn", "ex:langs/0")]
+     + rdf_list("ex:langs", [("en", "literal", XS + "string"),
+                             ("de", "literal", XS + "string")]))
+
+# ---- property pairs ---------------------------------------------------------
+
+case("equals_disjoint_pairs",
+     [("ex:a", T, "ex:Thing"),
+      ("ex:a", "ex:given", "Ann", "literal", XS + "string"),
+      ("ex:a", "ex:nick", "Ann", "literal", XS + "string"),
+      ("ex:b", T, "ex:Thing"),
+      ("ex:b", "ex:given", "Bob", "literal", XS + "string"),
+      ("ex:b", "ex:nick", "Bobby", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SEq"), ("ex:S", SH + "property", "ex:SDis"),
+      ("ex:SEq", SH + "path", "ex:given"), ("ex:SEq", SH + "equals", "ex:nick"),
+      ("ex:SDis", SH + "path", "ex:given"), ("ex:SDis", SH + "disjoint", "ex:nick")])
+
+case("lessthan_numeric",
+     [("ex:a", T, "ex:Span"),
+      ("ex:a", "ex:start", "1", "literal", XS + "integer"),
+      ("ex:a", "ex:end", "5", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Span"),
+      ("ex:b", "ex:start", "9", "literal", XS + "integer"),
+      ("ex:b", "ex:end", "3", "literal", XS + "integer")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Span"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:start"),
+      ("ex:SP", SH + "lessThan", "ex:end")])
+
+# ---- logical ----------------------------------------------------------------
+
+_LOGIC_SHAPES = [
+    ("ex:IntShape", T, SH + "NodeShape"),
+    ("ex:IntShape", SH + "datatype", XS + "integer"),
+    ("ex:ShortShape", T, SH + "NodeShape"),
+    ("ex:ShortShape", SH + "maxLength", "2", "literal", XS + "integer"),
+]
+
+case("logical_and_or_not_xone",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:v", "12", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:v", "longstring", "literal", XS + "string"),
+      ("ex:c", T, "ex:Thing"), ("ex:c", "ex:v", "ab", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SOr"), ("ex:S", SH + "property", "ex:SNot"),
+      ("ex:SOr", SH + "path", "ex:v"), ("ex:SOr", SH + "or", "ex:orlist/0"),
+      ("ex:SNot", SH + "path", "ex:v"), ("ex:SNot", SH + "not", "ex:IntShape")]
+     + rdf_list("ex:orlist", ["ex:IntShape", "ex:ShortShape"])
+     + _LOGIC_SHAPES)
+
+case("logical_xone_and",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:v", "12", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:v", "ab", "literal", XS + "string"),
+      ("ex:c", T, "ex:Thing"), ("ex:c", "ex:v", "abcdef", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SX"), ("ex:S", SH + "property", "ex:SAnd"),
+      ("ex:SX", SH + "path", "ex:v"), ("ex:SX", SH + "xone", "ex:xlist/0"),
+      ("ex:SAnd", SH + "path", "ex:v"), ("ex:SAnd", SH + "and", "ex:alist/0")]
+     + rdf_list("ex:xlist", ["ex:IntShape", "ex:ShortShape"])
+     + rdf_list("ex:alist", ["ex:StrShape", "ex:ShortShape"])
+     + _LOGIC_SHAPES
+     + [("ex:StrShape", T, SH + "NodeShape"),
+        ("ex:StrShape", SH + "datatype", XS + "string")])
+
+# ---- shape based -------------------------------------------------------------
+
+case("node_nested_conformance",
+     [("ex:a", T, "ex:Order"), ("ex:a", "ex:item", "ex:i1"),
+      ("ex:i1", "ex:price", "5", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Order"), ("ex:b", "ex:item", "ex:i2")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Order"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:item"), ("ex:SP", SH + "node", "ex:ItemShape"),
+      ("ex:ItemShape", T, SH + "NodeShape"),
+      ("ex:ItemShape", SH + "property", "ex:ItemPrice"),
+      ("ex:ItemPrice", SH + "path", "ex:price"),
+      ("ex:ItemPrice", SH + "minCount", "1", "literal", XS + "integer")])
+
+case("qualified_min_max",
+     [("ex:hand", T, "ex:Hand"),
+      ("ex:hand", "ex:digit", "ex:t1"), ("ex:t1", T, "ex:Thumb"),
+      ("ex:hand", "ex:digit", "ex:f1"), ("ex:f1", T, "ex:Finger"),
+      ("ex:hand2", T, "ex:Hand"),
+      ("ex:hand2", "ex:digit", "ex:f2"), ("ex:f2", T, "ex:Finger")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Hand"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:digit"),
+      ("ex:SP", SH + "qualifiedValueShape", "ex:ThumbShape"),
+      ("ex:SP", SH + "qualifiedMinCount", "1", "literal", XS + "integer"),
+      ("ex:SP", SH + "qualifiedMaxCount", "1", "literal", XS + "integer"),
+      ("ex:ThumbShape", T, SH + "NodeShape"),
+      ("ex:ThumbShape", SH + "class", "ex:Thumb")])
+
+# ---- other --------------------------------------------------------------------
+
+case("closed_extra_prop",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:name", "A", "literal", XS + "string"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:name", "B", "literal", XS + "string"),
+      ("ex:b", "ex:extra", "nope", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "closed", "true", "literal", XS + "boolean"),
+      ("ex:S", SH + "ignoredProperties", "ex:ig/0"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:name")]
+     + rdf_list("ex:ig", [T]))
+
+case("hasvalue_absent",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:status", "ok", "literal", XS + "string"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:status", "bad", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:status"),
+      ("ex:SP", SH + "hasValue", "ok", "literal", XS + "string")])
+
+case("in_list",
+     [("ex:a", T, "ex:Thing"), ("ex:a", "ex:color", "red", "literal", XS + "string"),
+      ("ex:b", T, "ex:Thing"), ("ex:b", "ex:color", "mauve", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:color"),
+      ("ex:SP", SH + "in", "ex:colors/0")]
+     + rdf_list("ex:colors", [("red", "literal", XS + "string"),
+                              ("green", "literal", XS + "string"),
+                              ("blue", "literal", XS + "string")]))
+
+# ---- paths ---------------------------------------------------------------------
+
+case("paths_inverse_sequence_alternative_zeroormore",
+     [("ex:root", T, "ex:Node"),
+      ("ex:root", "ex:child", "ex:m"),
+      ("ex:m", "ex:child", "ex:leaf1"),
+      ("ex:m", "ex:alt", "ex:leaf2"),
+      ("ex:leaf1", "ex:label", "L1", "literal", XS + "string"),
+      ("ex:leaf2", "ex:label", "L2", "literal", XS + "string"),
+      ("ex:orphan", T, "ex:Node")],
+     [  # sequence: child/child must exist ≥1 for ex:Node targets
+      ("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Node"),
+      ("ex:S", SH + "property", "ex:SSeq"),
+      ("ex:SSeq", SH + "path", "ex:seqpath/0"),
+      # alternative path child|alt from ex:m — via second target
+      ("ex:S2", T, SH + "NodeShape"), ("ex:S2", SH + "targetNode", "ex:m"),
+      ("ex:S2", SH + "property", "ex:SAlt"), ("ex:S2", SH + "property", "ex:SStar"),
+      ("ex:SAlt", SH + "path", "ex:altnode"),
+      ("ex:altnode", SH + "alternativePath", "ex:altlist/0"),
+      ("ex:SAlt", SH + "minCount", "2", "literal", XS + "integer"),
+      # zeroOrMore: ex:child* from root reaches root,m,leaf1 → minCount 3
+      ("ex:SStar", SH + "path", "ex:starnode"),
+      ("ex:starnode", SH + "zeroOrMorePath", "ex:child"),
+      ("ex:SStar", SH + "maxCount", "2", "literal", XS + "integer"),
+      # inverse: ^child from ex:m = root
+      ("ex:S3", T, SH + "NodeShape"), ("ex:S3", SH + "targetNode", "ex:m"),
+      ("ex:S3", SH + "property", "ex:SInv"),
+      ("ex:SInv", SH + "path", "ex:invnode"),
+      ("ex:invnode", SH + "inversePath", "ex:child"),
+      ("ex:SInv", SH + "minCount", "1", "literal", XS + "integer"),
+      ("ex:SSeq", SH + "minCount", "1", "literal", XS + "integer")]
+     + rdf_list("ex:seqpath", ["ex:child", "ex:child"])
+     + rdf_list("ex:altlist", ["ex:child", "ex:alt"]))
+
+case("targets_subjectsof_objectsof",
+     [("ex:a", "ex:knows", "ex:b"),
+      ("ex:b", "ex:name", "B", "literal", XS + "string"),
+      ("ex:c", "ex:knows", "ex:d")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetObjectsOf", "ex:knows"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:name"),
+      ("ex:SP", SH + "minCount", "1", "literal", XS + "integer"),
+      ("ex:S4", T, SH + "NodeShape"),
+      ("ex:S4", SH + "targetSubjectsOf", "ex:knows"),
+      ("ex:S4", SH + "property", "ex:SP2"),
+      ("ex:SP2", SH + "path", "ex:knows"),
+      ("ex:SP2", SH + "nodeKind", SH + "IRI")])
+
+# ---- severity/deactivated/message ----------------------------------------------
+
+case("severity_deactivated",
+     [("ex:a", T, "ex:Thing")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Thing"),
+      ("ex:S", SH + "severity", SH + "Warning"),
+      ("ex:S", SH + "message", "name required", "literal", XS + "string"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:name"),
+      ("ex:SP", SH + "severity", SH + "Warning"),
+      ("ex:SP", SH + "minCount", "1", "literal", XS + "integer"),
+      ("ex:SOff", T, SH + "NodeShape"), ("ex:SOff", SH + "targetClass", "ex:Thing"),
+      ("ex:SOff", SH + "deactivated", "true", "literal", XS + "boolean"),
+      ("ex:SOff", SH + "property", "ex:SPOff"),
+      ("ex:SPOff", SH + "path", "ex:never"),
+      ("ex:SPOff", SH + "minCount", "5", "literal", XS + "integer")])
+
+
+# ---- shacl-shacl-style metamodel cases ------------------------------------------
+# The metamodel validates shapes-graphs-as-data (SPEC §E): every subject
+# of sh:path must have exactly one path; sh:minCount values must be
+# integers; every sh:property value must be an IRI with a path.
+
+METAMODEL_SHAPES = [
+    (SH + "PropertyShapeShape", T, SH + "NodeShape"),
+    (SH + "PropertyShapeShape", SH + "targetSubjectsOf", SH + "path"),
+    (SH + "PropertyShapeShape", SH + "property", SH + "PathCount"),
+    (SH + "PathCount", SH + "path", SH + "path"),
+    (SH + "PathCount", SH + "minCount", "1", "literal", XS + "integer"),
+    (SH + "PathCount", SH + "maxCount", "1", "literal", XS + "integer"),
+    (SH + "MinCountShape", T, SH + "NodeShape"),
+    (SH + "MinCountShape", SH + "targetSubjectsOf", SH + "minCount"),
+    (SH + "MinCountShape", SH + "property", SH + "MinCountValue"),
+    (SH + "MinCountValue", SH + "path", SH + "minCount"),
+    (SH + "MinCountValue", SH + "datatype", XS + "integer"),
+    (SH + "NodeShapeShape", T, SH + "NodeShape"),
+    (SH + "NodeShapeShape", SH + "targetSubjectsOf", SH + "property"),
+    (SH + "NodeShapeShape", SH + "property", SH + "PropertyKind"),
+    (SH + "PropertyKind", SH + "path", SH + "property"),
+    (SH + "PropertyKind", SH + "nodeKind", SH + "BlankNodeOrIRI"),
+]
+
+case("shaclshacl_valid",
+     # a well-formed shapes graph as data
+     [("ex:MyShape", T, SH + "NodeShape"),
+      ("ex:MyShape", SH + "targetClass", "ex:Person"),
+      ("ex:MyShape", SH + "property", "ex:MyProp"),
+      ("ex:MyProp", SH + "path", "ex:name"),
+      ("ex:MyProp", SH + "minCount", "1", "literal", XS + "integer")],
+     METAMODEL_SHAPES)
+
+case("shaclshacl_broken",
+     # sh:minCount "two" (wrong datatype) + property shape missing sh:path
+     [("ex:MyShape", T, SH + "NodeShape"),
+      ("ex:MyShape", SH + "property", "ex:BadProp"),
+      ("ex:BadProp", SH + "path", "ex:name"),
+      ("ex:BadProp", SH + "path", "ex:name2"),
+      ("ex:BadProp", SH + "minCount", "two", "literal", XS + "string"),
+      ("ex:MyShape", SH + "property", "missing", "literal", XS + "string")],
+     METAMODEL_SHAPES)

@@ -41,6 +41,11 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # iterative fixpoint plans (localCheckpoint over union-derived
+        # frames) trip Catalyst's UnionBase.rewriteConstraints with
+        # "key not found: <attr>" — constraint propagation is an
+        # optional inference pass; off is the documented mitigation
+        .config("spark.sql.constraintPropagation.enabled", "false")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # content-bearing Arrow batches: cap record count so ~100KB rows
         # stay inside comfortable batch memory (SURVEY.md §4.2)

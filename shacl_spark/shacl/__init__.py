@@ -1,0 +1,14 @@
+from shacl_spark.shacl.shapes import (  # noqa: F401
+    AlternativePath,
+    InversePath,
+    NodeShape,
+    Path,
+    PredicatePath,
+    PropertyShape,
+    SequencePath,
+    ZeroOrMorePath,
+    ZeroOrOnePath,
+    OneOrMorePath,
+)
+from shacl_spark.shacl.parser import parse_shapes_graph  # noqa: F401
+from shacl_spark.shacl.engine import validate, REPORT_SCHEMA  # noqa: F401

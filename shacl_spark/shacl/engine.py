@@ -1,0 +1,444 @@
+"""SHACL validation engine: shapes × triples → validation-report frame
+(SPEC §3; SURVEY.md §2.B/§3.2).
+
+Execution model — the inverse of a per-focus-node interpreter: each
+constraint component becomes ONE set-oriented DataFrame computation
+over the whole focus/value-node frame (anti-joins, group-bys, filters),
+and the report is a ``unionByName`` of per-component violation frames.
+``sh:conforms`` ⇔ the report frame is empty.
+
+Scale notes:
+- the shapes graph is driver-resident; constraint parameters are
+  inlined literals (Catalyst constant-folds them);
+- identical path joins across constraints of one shape produce
+  identical shuffle exchanges, which Spark dedupes physically
+  (ReusedExchange) — we additionally reuse the VN frame object;
+- class/closure joins broadcast the small ontology side
+  (targets.instances_of).
+"""
+
+from __future__ import annotations
+
+from functools import reduce
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shacl_spark.functions.terms import SH
+from shacl_spark.shacl import components as C
+from shacl_spark.shacl.parser import parse_shapes_graph
+from shacl_spark.shacl.paths import (
+    _hop,
+    _values_as_nodes,
+    eval_path,
+    identity_vn,
+)
+from shacl_spark.shacl.shapes import PredicatePath, PropertyShape, Shape, ShapesGraph
+from shacl_spark.shacl.targets import focus_nodes, subclass_closure, instances_of
+
+REPORT_SCHEMA = T.StructType(
+    [
+        T.StructField("focus", T.StringType(), False),
+        T.StructField("path", T.StringType(), True),
+        T.StructField("value", T.StringType(), True),
+        T.StructField("component", T.StringType(), False),
+        T.StructField("severity", T.StringType(), False),
+        T.StructField("message", T.StringType(), True),
+        T.StructField("source_shape", T.StringType(), False),
+    ]
+)
+
+def _VKEY():
+    return F.concat_ws(
+        "\x01",
+        F.col("kind"),
+        F.col("value"),
+        F.coalesce(F.col("dt"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
+
+
+def _NKEY():
+    return F.concat_ws(
+        "\x01",
+        F.col("kind"),
+        F.col("node"),
+        F.coalesce(F.col("dt"), F.lit("")),
+        F.coalesce(F.col("lang"), F.lit("")),
+    )
+
+
+def _tkey(term) -> str:
+    return "\x01".join([term.kind, term.value, term.dt or "", term.lang or ""])
+
+
+class Validator:
+    def __init__(self, spark: SparkSession, triples: DataFrame, shapes: ShapesGraph):
+        self.spark = spark
+        self.t = triples
+        self.shapes = shapes
+        self._closure: DataFrame | None = None
+
+    # --- infrastructure ------------------------------------------------------
+
+    @property
+    def closure(self) -> DataFrame:
+        if self._closure is None:
+            self._closure = subclass_closure(self.t)
+        return self._closure
+
+    def _empty(self) -> DataFrame:
+        return self.spark.createDataFrame([], REPORT_SCHEMA)
+
+    def _stamp(
+        self,
+        df: DataFrame,
+        shape: Shape,
+        component: str,
+        default_msg: str,
+        path_desc: str | None,
+    ) -> DataFrame:
+        """Normalize a builder's (focus[,value][,rpath]) frame into report rows."""
+        cols = set(df.columns)
+        value = F.col("value") if "value" in cols else F.lit(None).cast("string")
+        rpath = (
+            F.col("rpath")
+            if "rpath" in cols
+            else F.lit(path_desc).cast("string")
+        )
+        msg = shape.messages[0] if shape.messages else default_msg
+        return df.select(
+            F.col("focus").alias("focus"),
+            rpath.alias("path"),
+            value.alias("value"),
+            F.lit(SH + component).alias("component"),
+            F.lit(shape.severity).alias("severity"),
+            F.lit(msg).alias("message"),
+            F.lit(shape.iri).alias("source_shape"),
+        )
+
+    def nonconforming(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
+        """Node frame → the subset that does NOT conform to the shape.
+        All results count for conformance regardless of severity."""
+        shape = self.shapes[shape_iri]
+        viol = self.evaluate(shape, nodes)
+        bad = viol.select(F.col("focus").alias("node")).distinct()
+        return nodes.join(bad, "node", "left_semi")
+
+    def conforming(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
+        shape = self.shapes[shape_iri]
+        viol = self.evaluate(shape, nodes)
+        bad = viol.select(F.col("focus").alias("node")).distinct()
+        return nodes.join(bad, "node", "left_anti")
+
+    # --- top level ------------------------------------------------------------
+
+    def validate(self) -> DataFrame:
+        frames = []
+        for shape in self.shapes.entry_shapes():
+            nodes = focus_nodes(self.spark, shape, self.t, self.closure)
+            frames.append(self.evaluate(shape, nodes))
+        if not frames:
+            return self._empty()
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    def evaluate(self, shape: Shape, nodes: DataFrame) -> DataFrame:
+        """All validation results for ``shape`` against the focus-node frame."""
+        if shape.deactivated:
+            return self._empty()
+
+        path_desc = None
+        if isinstance(shape, PropertyShape) and shape.path is not None:
+            path_desc = shape.path.describe()
+            vn = eval_path(shape.path, nodes, self.t)
+        else:
+            vn = identity_vn(nodes)
+
+        frames: list[DataFrame] = []
+        add = frames.append
+        st = lambda df, comp, msg: add(self._stamp(df, shape, comp, msg, path_desc))  # noqa: E731
+
+        # --- §4.1 value type --------------------------------------------------
+        for c in shape.class_:
+            inst = instances_of(self.t, self.closure, c)
+            non_iri = vn.where(F.col("kind") != "iri")
+            bad_iri = vn.where(F.col("kind") == "iri").join(
+                inst.select(F.col("node").alias("value")), "value", "left_anti"
+            )
+            st(non_iri.unionByName(bad_iri).select("focus", "value"),
+               "ClassConstraintComponent", f"value is not a SHACL instance of {c}")
+
+        if shape.datatype is not None:
+            bad = vn.where(
+                (F.col("kind") != "literal")
+                | ~F.col("dt").eqNullSafe(F.lit(shape.datatype))
+                | C.ill_formed(F.col("value"), shape.datatype)
+            )
+            st(bad.select("focus", "value"),
+               "DatatypeConstraintComponent", f"value does not have datatype {shape.datatype}")
+
+        if shape.node_kind is not None:
+            allowed = C.NODE_KIND_SETS.get(shape.node_kind, ())
+            st(vn.where(~F.col("kind").isin(*allowed)).select("focus", "value"),
+               "NodeKindConstraintComponent", f"value is not of node kind {shape.node_kind}")
+
+        # --- §4.2 cardinality --------------------------------------------------
+        if shape.min_count is not None:
+            counts = vn.groupBy("focus").agg(F.count("*").alias("n"))
+            bad = (
+                nodes.join(counts, nodes["node"] == counts["focus"], "left")
+                .where(F.coalesce(F.col("n"), F.lit(0)) < shape.min_count)
+                .select(F.col("node").alias("focus"))
+            )
+            st(bad, "MinCountConstraintComponent", f"fewer than {shape.min_count} values")
+
+        if shape.max_count is not None:
+            bad = (
+                vn.groupBy("focus").agg(F.count("*").alias("n"))
+                .where(F.col("n") > shape.max_count)
+                .select("focus")
+            )
+            st(bad, "MaxCountConstraintComponent", f"more than {shape.max_count} values")
+
+        # --- §4.3 value range --------------------------------------------------
+        for term, comp, op in (
+            (shape.min_exclusive, "MinExclusiveConstraintComponent", "gt"),
+            (shape.min_inclusive, "MinInclusiveConstraintComponent", "ge"),
+            (shape.max_exclusive, "MaxExclusiveConstraintComponent", "lt"),
+            (shape.max_inclusive, "MaxInclusiveConstraintComponent", "le"),
+        ):
+            if term is None:
+                continue
+            lv, lk, ld = F.lit(term.value), F.lit(term.kind), F.lit(term.dt).cast("string")
+            v, k, d = F.col("value"), F.col("kind"), F.col("dt")
+            if op == "gt":  # value > bound  ⇔  bound < value
+                ok = C.sparql_lt(lv, lk, ld, v, k, d)
+            elif op == "ge":
+                ok = C.sparql_lt(lv, lk, ld, v, k, d, or_equal=True)
+            elif op == "lt":
+                ok = C.sparql_lt(v, k, d, lv, lk, ld)
+            else:
+                ok = C.sparql_lt(v, k, d, lv, lk, ld, or_equal=True)
+            st(vn.where(~F.coalesce(ok, F.lit(False))).select("focus", "value"),
+               comp, f"value out of range ({comp} {term.value})")
+
+        # --- §4.4 string based ---------------------------------------------------
+        if shape.min_length is not None:
+            bad = vn.where(
+                (F.col("kind") == "bnode") | (F.length("value") < shape.min_length)
+            )
+            st(bad.select("focus", "value"),
+               "MinLengthConstraintComponent", f"length < {shape.min_length}")
+
+        if shape.max_length is not None:
+            bad = vn.where(
+                (F.col("kind") == "bnode") | (F.length("value") > shape.max_length)
+            )
+            st(bad.select("focus", "value"),
+               "MaxLengthConstraintComponent", f"length > {shape.max_length}")
+
+        if shape.pattern is not None:
+            rx = C.java_regex(shape.pattern, shape.flags)
+            bad = vn.where((F.col("kind") == "bnode") | ~F.col("value").rlike(rx))
+            st(bad.select("focus", "value"),
+               "PatternConstraintComponent", f"value does not match {shape.pattern}")
+
+        if shape.language_in:
+            ok = reduce(
+                lambda a, b: a | b,
+                [C.lang_matches(F.col("lang"), t) for t in shape.language_in],
+            )
+            bad = vn.where(
+                (F.col("kind") != "literal") | F.col("lang").isNull() | ~ok
+            )
+            st(bad.select("focus", "value"),
+               "LanguageInConstraintComponent", f"language not in {list(shape.language_in)}")
+
+        if shape.unique_lang:
+            dup = (
+                vn.where(F.col("lang").isNotNull())
+                .groupBy("focus", F.lower("lang").alias("ltag"))
+                .agg(F.count("*").alias("n"))
+                .where(F.col("n") > 1)
+                .select("focus")
+                .distinct()
+            )
+            st(dup, "UniqueLangConstraintComponent", "duplicate language tags")
+
+        # --- §4.5 property pair ---------------------------------------------------
+        vnk = vn.withColumn("vkey", _VKEY())
+        for p in shape.equals:
+            other = _hop(nodes, self.t, p, inverse=False).withColumn("vkey", _VKEY())
+            a_not_b = vnk.join(other.select("focus", "vkey"), ["focus", "vkey"], "left_anti")
+            b_not_a = other.join(vnk.select("focus", "vkey"), ["focus", "vkey"], "left_anti")
+            st(a_not_b.select("focus", "value").unionByName(b_not_a.select("focus", "value")),
+               "EqualsConstraintComponent", f"values differ from values of {p}")
+
+        for p in shape.disjoint:
+            other = _hop(nodes, self.t, p, inverse=False).withColumn("vkey", _VKEY())
+            shared = vnk.join(other.select("focus", "vkey"), ["focus", "vkey"], "left_semi")
+            st(shared.select("focus", "value"),
+               "DisjointConstraintComponent", f"value shared with {p}")
+
+        for plist, comp, or_eq in (
+            (shape.less_than, "LessThanConstraintComponent", False),
+            (shape.less_than_or_equals, "LessThanOrEqualsConstraintComponent", True),
+        ):
+            for p in plist:
+                other = _hop(nodes, self.t, p, inverse=False).select(
+                    F.col("focus").alias("ofocus"),
+                    F.col("value").alias("v2"),
+                    F.col("kind").alias("k2"),
+                    F.col("dt").alias("d2"),
+                )
+                pairs = vn.join(other, vn["focus"] == other["ofocus"], "inner")
+                lt = C.sparql_lt(
+                    F.col("value"), F.col("kind"), F.col("dt"),
+                    F.col("v2"), F.col("k2"), F.col("d2"), or_equal=or_eq,
+                )
+                st(pairs.where(~F.coalesce(lt, F.lit(False))).select("focus", "value").distinct(),
+                   comp, f"value not less than values of {p}")
+
+        # --- §4.6 logical ---------------------------------------------------------
+        val_nodes = _values_as_nodes(vn)
+        for s in shape.not_:
+            conf = self.conforming(s, val_nodes)
+            st(self._vn_semi(vn, conf).select("focus", "value"),
+               "NotConstraintComponent", f"value conforms to {s}")
+
+        for group in shape.and_:
+            bad_nodes = None
+            for s in group:
+                nc = self.nonconforming(s, val_nodes)
+                bad_nodes = nc if bad_nodes is None else bad_nodes.unionByName(nc)
+            if bad_nodes is not None:
+                bad_nodes = bad_nodes.dropDuplicates(["node", "kind", "dt", "lang"])
+                st(self._vn_semi(vn, bad_nodes).select("focus", "value"),
+                   "AndConstraintComponent", "value fails a member of sh:and")
+
+        for group in shape.or_:
+            all_bad = val_nodes
+            for s in group:
+                all_bad = self.nonconforming(s, all_bad)
+            st(self._vn_semi(vn, all_bad).select("focus", "value"),
+               "OrConstraintComponent", "value conforms to no member of sh:or")
+
+        for group in shape.xone:
+            conf_counts = None
+            for s in group:
+                conf = self.conforming(s, val_nodes).withColumn("one", F.lit(1))
+                conf_counts = conf if conf_counts is None else conf_counts.unionByName(conf)
+            if conf_counts is None:
+                continue
+            # key on the normalized term key — dt/lang are nullable and
+            # NULL join keys never match under plain equality
+            exactly_one = (
+                conf_counts.groupBy(_NKEY().alias("nkey"))
+                .agg(F.sum("one").alias("n"))
+                .where(F.col("n") == 1)
+                .select("nkey")
+            )
+            not_one = (
+                val_nodes.withColumn("nkey", _NKEY())
+                .join(exactly_one, "nkey", "left_anti")
+                .drop("nkey")
+            )
+            st(self._vn_semi(vn, not_one).select("focus", "value"),
+               "XoneConstraintComponent", "value conforms to != 1 members of sh:xone")
+
+        # --- §4.7 shape based -------------------------------------------------------
+        for s in shape.node:
+            bad = self.nonconforming(s, val_nodes)
+            st(self._vn_semi(vn, bad).select("focus", "value"),
+               "NodeConstraintComponent", f"value does not conform to {s}")
+
+        for ps_iri in shape.property:
+            # nested property shape: every value node becomes its focus
+            child = self.shapes[ps_iri]
+            frames.append(self.evaluate(child, val_nodes))
+
+        if shape.qualified_value_shape is not None:
+            conf = self.conforming(shape.qualified_value_shape, val_nodes)
+            if shape.qualified_disjoint:
+                for sib in self.shapes.sibling_qualified(shape.iri):
+                    sib_keys = self.conforming(sib, val_nodes).select(
+                        _NKEY().alias("nkey")
+                    )
+                    conf = (
+                        conf.withColumn("nkey", _NKEY())
+                        .join(sib_keys, "nkey", "left_anti")
+                        .drop("nkey")
+                    )
+            conf_vn = self._vn_semi(vn, conf)
+            counts = conf_vn.groupBy("focus").agg(F.count("*").alias("n"))
+            if shape.qualified_min_count is not None:
+                bad = (
+                    nodes.join(counts, nodes["node"] == counts["focus"], "left")
+                    .where(F.coalesce(F.col("n"), F.lit(0)) < shape.qualified_min_count)
+                    .select(F.col("node").alias("focus"))
+                )
+                st(bad, "QualifiedMinCountConstraintComponent",
+                   f"fewer than {shape.qualified_min_count} qualified values")
+            if shape.qualified_max_count is not None:
+                bad = counts.where(F.col("n") > shape.qualified_max_count).select("focus")
+                st(bad, "QualifiedMaxCountConstraintComponent",
+                   f"more than {shape.qualified_max_count} qualified values")
+
+        # --- §4.8 other ----------------------------------------------------------
+        if shape.closed:
+            allowed = set(shape.ignored_properties)
+            for ps_iri in shape.property:
+                ps = self.shapes[ps_iri]
+                if isinstance(ps, PropertyShape) and isinstance(ps.path, PredicatePath):
+                    allowed.add(ps.path.iri)
+            subj_nodes = nodes.where(F.col("kind") == "iri").select(
+                F.col("node").alias("subj")
+            )
+            extra = self.t.join(subj_nodes, "subj", "left_semi")
+            if allowed:
+                extra = extra.where(~F.col("pred").isin(*sorted(allowed)))
+            st(extra.select(
+                   F.col("subj").alias("focus"),
+                   F.col("obj").alias("value"),
+                   F.col("pred").alias("rpath"),
+               ),
+               "ClosedConstraintComponent", "predicate not allowed on closed shape")
+
+        for term in shape.has_value:
+            have = (
+                vn.where(_VKEY() == F.lit(_tkey(term)))
+                .select(F.col("focus").alias("node"))
+                .distinct()
+            )
+            st(nodes.join(have, "node", "left_anti").select(F.col("node").alias("focus")),
+               "HasValueConstraintComponent", f"missing required value {term.value}")
+
+        if shape.in_ is not None:
+            keys = [_tkey(t) for t in shape.in_]
+            st(vn.where(~_VKEY().isin(*keys)).select("focus", "value"),
+               "InConstraintComponent", "value not in sh:in list")
+
+        if not frames:
+            return self._empty()
+        return reduce(lambda a, b: a.unionByName(b), frames)
+
+    # --- helpers ---------------------------------------------------------------
+
+    def _vn_semi(self, vn: DataFrame, nodes: DataFrame) -> DataFrame:
+        """VN rows whose value term is in the node frame (term equality)."""
+        keyed = nodes.select(_NKEY().alias("vkey"))
+        return vn.withColumn("vkey", _VKEY()).join(keyed, "vkey", "left_semi").drop("vkey")
+
+
+def validate(
+    spark: SparkSession, triples: DataFrame, shapes_rows_or_graph
+) -> DataFrame:
+    """Validate the data triples against a shapes graph (triple rows, a
+    small DataFrame, or an already-parsed :class:`ShapesGraph`)."""
+    shapes = (
+        shapes_rows_or_graph
+        if isinstance(shapes_rows_or_graph, ShapesGraph)
+        else parse_shapes_graph(shapes_rows_or_graph)
+    )
+    return Validator(spark, triples, shapes).validate()

@@ -1,0 +1,125 @@
+"""Target selection → focus node frames (SPEC §2.1.3; SURVEY.md §2.C).
+
+The class hierarchy (rdfs:subClassOf closure) is computed ONCE per
+validation run with the shared fixpoint iterator and is tiny relative
+to the data, so every use is a broadcast join against the (huge)
+rdf:type triples — no shuffle on the big side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from shacl_spark.functions.terms import RDF_TYPE, RDFS_SUBCLASSOF
+from shacl_spark.operators.fixpoint import iterate_to_fixpoint
+from shacl_spark.shacl.shapes import Shape, Term
+
+NODE_SCHEMA = T.StructType(
+    [
+        T.StructField("node", T.StringType(), False),
+        T.StructField("kind", T.StringType(), False),
+        T.StructField("dt", T.StringType(), True),
+        T.StructField("lang", T.StringType(), True),
+    ]
+)
+
+
+def empty_nodes(spark: SparkSession) -> DataFrame:
+    return spark.createDataFrame([], NODE_SCHEMA)
+
+
+def nodes_from_terms(spark: SparkSession, terms) -> DataFrame:
+    rows = [(t.value, t.kind, t.dt, t.lang) for t in terms]
+    return spark.createDataFrame(rows, NODE_SCHEMA)
+
+
+def subclass_closure(triples: DataFrame) -> DataFrame:
+    """Reflexive-transitive rdfs:subClassOf closure → DF[sub, sup].
+
+    Universe = every IRI appearing as a class (rdf:type object or
+    subClassOf endpoint).  The hierarchy is assumed driver-small (true
+    for any real ontology); the closure frame is broadcast at use sites.
+    """
+    sco = triples.where(F.col("pred") == RDFS_SUBCLASSOF).select(
+        F.col("subj").alias("sub"), F.col("obj").alias("sup")
+    )
+    classes = (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .select(F.col("obj").alias("c"))
+        .unionByName(sco.select(F.col("sub").alias("c")))
+        .unionByName(sco.select(F.col("sup").alias("c")))
+        .distinct()
+    )
+    reflexive = classes.select(F.col("c").alias("sub"), F.col("c").alias("sup"))
+
+    def step(frontier: DataFrame) -> DataFrame:
+        # extend each known (sub, sup) by one edge sup -subClassOf-> sup2
+        return frontier.alias("f").join(
+            sco.alias("e"), F.col("f.sup") == F.col("e.sub"), "inner"
+        ).select(F.col("f.sub").alias("sub"), F.col("e.sup").alias("sup"))
+
+    return iterate_to_fixpoint(reflexive, step, key_cols=["sub", "sup"])
+
+
+def instances_of(triples: DataFrame, closure: DataFrame, class_iri: str) -> DataFrame:
+    """SHACL instances of ``class_iri``: nodes with rdf:type T where
+    T subClassOf* class_iri.  Broadcast the (small) closure slice."""
+    subtypes = closure.where(F.col("sup") == class_iri).select("sub")
+    return (
+        triples.where(F.col("pred") == RDF_TYPE)
+        .join(F.broadcast(subtypes), F.col("obj") == F.col("sub"), "inner")
+        .select(F.col("subj").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            F.lit("iri").alias("kind"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+
+def focus_nodes(
+    spark: SparkSession, shape: Shape, triples: DataFrame, closure: DataFrame
+) -> DataFrame:
+    """Union of all declared targets, deduped on term identity."""
+    frames: list[DataFrame] = []
+    if shape.target_nodes:
+        frames.append(nodes_from_terms(spark, shape.target_nodes))
+
+    classes = list(shape.target_classes)
+    if shape.implicit_class_target:
+        classes.append(shape.iri)
+    for c in classes:
+        frames.append(instances_of(triples, closure, c))
+
+    for p in shape.target_subjects_of:
+        frames.append(
+            triples.where(F.col("pred") == p)
+            .select(F.col("subj").alias("node"))
+            .distinct()
+            .select(
+                "node",
+                F.lit("iri").alias("kind"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
+    for p in shape.target_objects_of:
+        frames.append(
+            triples.where(F.col("pred") == p).select(
+                F.col("obj").alias("node"),
+                F.col("obj_kind").alias("kind"),
+                F.col("obj_dt").alias("dt"),
+                F.col("obj_lang").alias("lang"),
+            )
+        )
+
+    if not frames:
+        return empty_nodes(spark)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out.dropDuplicates(["node", "kind", "dt", "lang"])

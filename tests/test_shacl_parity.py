@@ -1,0 +1,44 @@
+"""Engine-vs-oracle parity over all SHACL fixture cases — the
+BASELINE.md P/R ≥ 0.95 gate (target 1.0), SURVEY.md §5.2."""
+
+from __future__ import annotations
+
+import pytest
+
+from fixtures.shacl_cases import CASES
+from shacl_spark.functions.terms import triples_from_rows
+from shacl_spark.shacl import validate
+from tests.oracle import Oracle, precision_recall, report_set
+
+
+@pytest.mark.parametrize("name", sorted(CASES))
+def test_case_parity(spark, name):
+    case = CASES[name]
+    data_df = triples_from_rows(spark, case["data"])
+    engine_rows = validate(spark, data_df, case["shapes"]).collect()
+    oracle_results = Oracle(case["data"], case["shapes"]).validate()
+    p, r = precision_recall(engine_rows, oracle_results)
+    if (p, r) != (1.0, 1.0):
+        e, o = report_set(engine_rows), report_set(oracle_results)
+        msg = (
+            f"{name}: P={p:.2f} R={r:.2f}\n"
+            f"engine-only: {sorted(e - o)}\n"
+            f"oracle-only: {sorted(o - e)}"
+        )
+        pytest.fail(msg)
+
+
+def test_valid_metamodel_conforms(spark):
+    case = CASES["shaclshacl_valid"]
+    report = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"])
+    assert report.isEmpty()
+    assert not Oracle(case["data"], case["shapes"]).validate()
+
+
+def test_broken_metamodel_violates(spark):
+    case = CASES["shaclshacl_broken"]
+    report = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"])
+    comps = {r["component"].split("#")[-1] for r in report.collect()}
+    assert "MaxCountConstraintComponent" in comps  # two sh:path values
+    assert "DatatypeConstraintComponent" in comps  # minCount "two"
+    assert "NodeKindConstraintComponent" in comps  # literal sh:property value
