@@ -1,0 +1,59 @@
+"""Connected-components canonicalization (SURVEY.md §2.A A10).
+
+Hash-to-min label propagation: every vertex starts as its own label
+(its IRI); each round every vertex takes the min label among itself
+and its neighbors; converges in O(component diameter) rounds — entity
+match graphs are near-cliques of name variants, so diameter is tiny.
+Each round is one shuffle join + one aggregation; ``localCheckpoint``
+truncates lineage per round (GraphFrames-style iterative joins,
+BASELINE.json:6).  Deterministic: representative = lexicographic min
+IRI, no randomness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """edges DF[src, dst] (strings) → DF[id, component] where component
+    is the min id in the weakly-connected component."""
+    sym = edges.select("src", "dst").unionByName(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    sym = sym.dropDuplicates(["src", "dst"]).localCheckpoint(eager=True)
+
+    labels = (
+        sym.select(F.col("src").alias("id"))
+        .distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+
+    for _ in range(max_iter):
+        nbr_min = (
+            sym.join(labels, sym["dst"] == labels["id"], "inner")
+            .select(F.col("src").alias("id"), F.col("label"))
+            .groupBy("id")
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, "id", "left")
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce(F.col("nbr_label"), F.col("label"))).alias("label"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "id")
+            .where(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("id", F.col("label").alias("component"))
+    raise RuntimeError(f"connected_components did not converge in {max_iter} iterations")

@@ -1,0 +1,75 @@
+"""Entity linking / canonicalization tests (SURVEY.md §7 Stage 4)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from shacl_spark.kg.canon import build_component_map, canonicalize, rewrite_triples
+from shacl_spark.kg.cc import connected_components
+from shacl_spark.kg.link import jaccard, link_to_dictionary, score_pairs
+from shacl_spark.kg.minhash import candidate_pairs
+from shacl_spark.functions.terms import triples_from_rows
+
+
+def test_jaccard_basics():
+    assert jaccard("HttpClient", "HTTPClient") == 1.0  # same normalized form
+    assert jaccard("HttpClient", "http_client") == 1.0
+    assert jaccard("HttpClient", "Widget7") < 0.2
+
+
+def test_candidate_pairs_find_near_dups(spark):
+    names = spark.createDataFrame(
+        [("e1", "HttpClient"), ("e2", "HTTPClient"), ("e3", "http_client"),
+         ("e4", "Widget7"), ("e5", "CompletelyDifferent")],
+        ["id", "name"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in candidate_pairs(names).collect()}
+    assert ("e1", "e2") in pairs
+    assert ("e1", "e3") in pairs
+    assert ("e4", "e5") not in pairs
+
+
+def test_connected_components_two_clusters(spark):
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y")], ["src", "dst"]
+    )
+    comps = {r["id"]: r["component"] for r in connected_components(edges).collect()}
+    assert comps["a"] == comps["b"] == comps["c"] == "a"
+    assert comps["x"] == comps["y"] == "x"
+
+
+def test_canonicalize_rewrites_near_dup_entities(spark):
+    rows = [
+        ("kg:f1#HttpClient", "kg:name", "HttpClient", "literal"),
+        ("kg:f2#HTTPClient", "kg:name", "HTTPClient", "literal"),
+        ("kg:f1", "kg:defines", "kg:f1#HttpClient"),
+        ("kg:f2", "kg:defines", "kg:f2#HTTPClient"),
+        ("kg:f3#Widget", "kg:name", "Widget", "literal"),
+    ]
+    t = triples_from_rows(spark, rows)
+    cmap = {r["id"]: r["canonical"] for r in build_component_map(t, threshold=0.75).collect()}
+    # the two near-dup symbols collapse to the min IRI
+    assert cmap == {"kg:f2#HTTPClient": "kg:f1#HttpClient"}
+    out = canonicalize(t, threshold=0.75)
+    defines = {
+        r["obj"] for r in out.where(F.col("pred") == "kg:defines").collect()
+    }
+    assert defines == {"kg:f1#HttpClient"}
+    # literals must never be rewritten
+    names = {r["obj"] for r in out.where(F.col("pred") == "kg:name").collect()}
+    assert "HTTPClient" in names
+
+
+def test_link_to_dictionary(spark):
+    mentions = spark.createDataFrame(
+        [("m1", "http_client"), ("m2", "JSONparser"), ("m3", "zzz")], ["id", "name"]
+    )
+    dictionary = spark.createDataFrame(
+        [("kg:canon/HttpClient", "HttpClient"), ("kg:canon/JsonParser", "JsonParser")],
+        ["iri", "name"],
+    )
+    links = {r["id"]: r["canonical_iri"] for r in
+             link_to_dictionary(mentions, dictionary, threshold=0.5).collect()}
+    assert links["m1"] == "kg:canon/HttpClient"
+    assert links["m2"] == "kg:canon/JsonParser"
+    assert "m3" not in links
