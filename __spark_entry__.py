@@ -1,38 +1,933 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship KG-construction run (smoke, sf0.001).
+``queries()``    — one entry per implemented operator (SURVEY.md §2),
+                   each (spark, sf_dir) → DataFrame.
+``oracle_sql()`` — DuckDB-equivalent ANSI SQL per query where the op
+                   is SQL-expressible; omissions are rows-only checks.
+
+Hash-compat conventions (driver compares row-count + schema +
+order-insensitive value-hash):
+- every non-integer computed column is CAST(ROUND(exact_expr, k) AS
+  DOUBLE) in BOTH engines; sums run over DECIMAL casts so the value is
+  order-independent and exact before the final round;
+- every count/sum-of-int is CAST(... AS BIGINT) in DuckDB (its SUM
+  widens to HUGEINT, Spark's stays long);
+- LIMIT always rides on a total order (explicit tie-breaks).
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+
+
+# ---------------------------------------------------------------------------
+# flagship
+# ---------------------------------------------------------------------------
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: KG construction + SHACL validation + corpus analytics.
+
+    Loads /root/testdata/sf0.001 tables, runs the extraction→linking→
+    canonicalization→validation pipeline over a deterministic synthetic
+    source corpus (the BASELINE.json:15 input shape), and returns a
+    summary frame (metric, value) — rows > 0, stable schema.
+    """
+    from shacl_spark.kg.canon import canonicalize
+    from shacl_spark.kg.extract import extract_triples
+    from shacl_spark.operators.text import text_stats
+    from shacl_spark.shacl import validate
+    from shacl_spark.shacl.kg_shapes import KG_METAMODEL
+    from shacl_spark.sources.corpus import synth_corpus
+
+    sf_dir = "/root/testdata/sf0.001"
+    docs = _t(spark, sf_dir, "documents")
+    events = _t(spark, sf_dir, "events")
+
+    corpus = synth_corpus(spark, 120, parts=8)
+    triples = canonicalize(extract_triples(corpus, n_parts=64), threshold=0.75)
+    report = validate(spark, triples, KG_METAMODEL)
+
+    stats = text_stats(docs)
+    summary = spark.createDataFrame(
+        [
+            ("kg_triples", triples.count()),
+            ("kg_violations", report.count()),
+            ("docs", docs.count()),
+            ("doc_tokens", stats.agg(F.sum("tokens")).collect()[0][0]),
+            ("events", events.count()),
+        ],
+        "metric string, value long",
+    )
+    return summary
+
+
+# ---------------------------------------------------------------------------
+# query registry
+# ---------------------------------------------------------------------------
+
+_QUERIES: dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def q(name: str, sql: str | None = None):
+    def deco(fn):
+        _QUERIES[name] = fn
+        if sql is not None:
+            _ORACLES[name] = sql
+        return fn
+    return deco
+
+
+# --- scans / projection / filter -------------------------------------------
+
+
+@q(
+    "scan_project_filter",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4)), 2) AS DOUBLE) AS net_price,
+              CASE WHEN l_quantity >= 25 THEN 'bulk' ELSE 'small' END AS qty_class
+       FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_discount > 0.05""",
+)
+def scan_project_filter(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.where((F.col("l_shipdate") >= "1996-01-01") & (F.col("l_discount") > 0.05))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(
+                (F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,4)"), 2
+            ).cast("double").alias("net_price"),
+            F.when(F.col("l_quantity") >= 25, "bulk").otherwise("small").alias("qty_class"),
+        )
+    )
+
+
+# --- aggregation (TPC-H Q1 shape) -------------------------------------------
+
+
+@q(
+    "agg_pricing_summary",
+    """SELECT l_returnflag, l_linestatus,
+              CAST(ROUND(SUM(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
+              CAST(ROUND(SUM(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS sum_disc_price,
+              CAST(ROUND(AVG(CAST(l_discount AS DECIMAL(18,6))), 4) AS DOUBLE) AS avg_disc,
+              CAST(COUNT(*) AS BIGINT) AS count_order
+       FROM lineitem GROUP BY l_returnflag, l_linestatus""",
+)
+def agg_pricing_summary(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.round(F.sum(F.col("l_quantity").cast("decimal(18,4)")), 2).cast("double").alias("sum_qty"),
+        F.round(F.sum(F.col("l_extendedprice").cast("decimal(18,4)")), 2).cast("double").alias("sum_base"),
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+        ).cast("double").alias("sum_disc_price"),
+        F.round(F.avg(F.col("l_discount").cast("decimal(18,6)")), 4).cast("double").alias("avg_disc"),
+        F.count("*").alias("count_order"),
+    )
+
+
+@q(
+    "agg_distinct",
+    """SELECT o_orderpriority,
+              CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_customers,
+              CAST(COUNT(*) AS BIGINT) AS n_orders
+       FROM orders GROUP BY o_orderpriority""",
+)
+def agg_distinct(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count("*").alias("n_orders"),
+    )
+
+
+# --- joins -------------------------------------------------------------------
+
+
+@q(
+    "join_broadcast_dims",
+    """SELECT r.r_name AS region, CAST(COUNT(*) AS BIGINT) AS n_customers,
+              CAST(ROUND(SUM(CAST(c.c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_acctbal
+       FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+                       JOIN region r ON n.n_regionkey = r.r_regionkey
+       GROUP BY r.r_name""",
+)
+def join_broadcast_dims(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .groupBy(F.col("r_name").alias("region"))
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2)
+            .cast("double").alias("total_acctbal"),
+        )
+    )
+
+
+@q(
+    "join_shuffle_revenue_topk",
+    """SELECT o_orderkey, o_orderdate,
+              CAST(ROUND(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6))), 2) AS DOUBLE) AS revenue
+       FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+       GROUP BY o_orderkey, o_orderdate
+       ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
+)
+def join_shuffle_revenue_topk(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, o["o_orderkey"] == li["l_orderkey"])
+        .groupBy("o_orderkey", "o_orderdate")
+        .agg(
+            F.round(
+                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+            ).cast("double").alias("revenue")
+        )
+        .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
+        .limit(10)
+    )
+
+
+@q(
+    "join_semi",
+    """SELECT c_mktsegment, CAST(COUNT(*) AS BIGINT) AS n
+       FROM customer WHERE c_custkey IN (SELECT o_custkey FROM orders)
+       GROUP BY c_mktsegment""",
+)
+def join_semi(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("n"))
+    )
+
+
+@q(
+    "join_anti",
+    """SELECT c_custkey, c_name FROM customer
+       WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)""",
+)
+def join_anti(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return c.join(o, c["c_custkey"] == o["o_custkey"], "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@q(
+    "join_outer",
+    """SELECT c.c_custkey, c.c_mktsegment,
+              CAST(COUNT(o.o_orderkey) AS BIGINT) AS n_orders,
+              CAST(ROUND(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,4))), 0), 2) AS DOUBLE) AS total_spend
+       FROM customer c LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+       GROUP BY c.c_custkey, c.c_mktsegment""",
+)
+def join_outer(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    return (
+        c.join(o, c["c_custkey"] == o["o_custkey"], "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(
+                F.coalesce(F.sum(F.col("o_totalprice").cast("decimal(18,4)")), F.lit(0)), 2
+            ).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@q(
+    "join_theta_event_pairs",
+    """SELECT a.user_id, CAST(COUNT(*) AS BIGINT) AS n_pairs
+       FROM events a JOIN events b
+         ON a.user_id = b.user_id AND b.ts > a.ts
+        AND b.ts <= a.ts + INTERVAL 60 SECONDS
+       GROUP BY a.user_id""",
+)
+def join_theta_event_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "events")
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.user_id") == F.col("b.user_id"))
+            & (F.col("b.ts") > F.col("a.ts"))
+            & (F.col("b.ts") <= F.col("a.ts") + F.expr("INTERVAL 60 SECONDS")),
+        )
+        .groupBy(F.col("a.user_id").alias("user_id"))
+        .agg(F.count("*").alias("n_pairs"))
+    )
+
+
+@q(
+    "join_asof_latest_order",
+    """SELECT e.event_id, e.event_type,
+              CAST(o.o_orderdate AS DATE) AS last_order_date
+       FROM events e ASOF LEFT JOIN orders o
+         ON e.user_id = o.o_custkey AND e.ts >= o.o_orderdate""",
+)
+def join_asof_latest_order(spark, sf_dir):
+    from shacl_spark.operators.asof import asof_join
+
+    e = _t(spark, sf_dir, "events").select("event_id", "event_type", "user_id", "ts")
+    o = _t(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("user_id"), "o_orderdate"
+    )
+    joined = asof_join(
+        e, o, on="user_id", left_ts="ts", right_ts="o_orderdate",
+        payload_cols=["o_orderdate"],
+    )
+    return joined.select(
+        "event_id", "event_type", F.col("o_orderdate").cast("date").alias("last_order_date")
+    )
+
+
+# --- rollup / cube / grouping sets -------------------------------------------
+
+
+@q(
+    "rollup_revenue",
+    """SELECT r_name, n_name,
+              CAST(ROUND(SUM(CAST(c_acctbal AS DECIMAL(18,4))), 2) AS DOUBLE) AS bal
+       FROM customer JOIN nation ON c_nationkey = n_nationkey
+                     JOIN region ON n_regionkey = r_regionkey
+       GROUP BY ROLLUP (r_name, n_name)""",
+)
+def rollup_revenue(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    r = _t(spark, sf_dir, "region")
+    return (
+        c.join(F.broadcast(n), c["c_nationkey"] == n["n_nationkey"])
+        .join(F.broadcast(r), n["n_regionkey"] == r["r_regionkey"])
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("c_acctbal").cast("decimal(18,4)")), 2).cast("double").alias("bal"))
+    )
+
+
+@q(
+    "cube_counts",
+    """SELECT l_returnflag, l_linestatus, CAST(COUNT(*) AS BIGINT) AS n
+       FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""",
+)
+def cube_counts(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(F.count("*").alias("n"))
+
+
+@q(
+    "grouping_sets_mix",
+    """SELECT o_orderstatus, o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n
+       FROM orders GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+)
+def grouping_sets_mix(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    o.createOrReplaceTempView("orders_gs")
+    return spark.sql(
+        """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n
+           FROM orders_gs GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())"""
+    )
+
+
+# --- windows ------------------------------------------------------------------
+
+
+@q(
+    "window_topk_per_group",
+    """SELECT * FROM (
+         SELECT o_custkey, o_orderkey,
+                CAST(ROUND(CAST(o_totalprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price,
+                CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS BIGINT) AS rn
+         FROM orders) WHERE rn <= 3""",
+)
+def window_topk_per_group(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.select(
+            "o_custkey",
+            "o_orderkey",
+            F.round(F.col("o_totalprice").cast("decimal(18,4)"), 2).cast("double").alias("price"),
+            F.row_number().over(w).cast("long").alias("rn"),
+        )
+        .where(F.col("rn") <= 3)
+    )
+
+
+@q(
+    "window_running_lag",
+    """SELECT o_custkey, o_orderkey,
+              CAST(ROUND(SUM(CAST(o_totalprice AS DECIMAL(18,4)))
+                   OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+              CAST(ROUND(CAST(COALESCE(LAG(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey), 0) AS DECIMAL(18,4)), 2) AS DOUBLE) AS prev_price
+       FROM orders""",
+)
+def window_running_lag(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return o.select(
+        "o_custkey",
+        "o_orderkey",
+        F.round(
+            F.sum(F.col("o_totalprice").cast("decimal(18,4)")).over(
+                w.rowsBetween(W.unboundedPreceding, 0)
+            ),
+            2,
+        ).cast("double").alias("running_spend"),
+        F.round(
+            F.coalesce(F.lag("o_totalprice").over(w), F.lit(0)).cast("decimal(18,4)"), 2
+        ).cast("double").alias("prev_price"),
+    )
+
+
+@q(
+    "window_ntile_rank",
+    """SELECT c_custkey,
+              CAST(NTILE(4) OVER (ORDER BY c_acctbal DESC, c_custkey ASC) AS BIGINT) AS quartile,
+              CAST(DENSE_RANK() OVER (ORDER BY c_mktsegment) AS BIGINT) AS seg_rank
+       FROM customer""",
+)
+def window_ntile_rank(spark, sf_dir):
+    c = _t(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.ntile(4).over(W.orderBy(F.desc("c_acctbal"), F.asc("c_custkey"))).cast("long").alias("quartile"),
+        F.dense_rank().over(W.orderBy("c_mktsegment")).cast("long").alias("seg_rank"),
+    )
+
+
+# --- sort / limit / set ops ----------------------------------------------------
+
+
+@q(
+    "global_topk",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,4)), 2) AS DOUBLE) AS price
+       FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 20""",
+)
+def global_topk(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col("l_extendedprice").cast("decimal(18,4)"), 2).cast("double").alias("price"),
+        )
+        .orderBy(F.desc("price"), F.asc("l_orderkey"), F.asc("l_linenumber"))
+        .limit(20)
+    )
+
+
+@q(
+    "set_ops_custkeys",
+    """SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1995
+       INTERSECT
+       SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996""",
+)
+def set_ops_custkeys(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    a = o.where(F.year("o_orderdate") == 1995).select("o_custkey")
+    b = o.where(F.year("o_orderdate") == 1996).select("o_custkey")
+    return a.intersect(b)
+
+
+@q(
+    "except_union",
+    """SELECT o_custkey FROM (
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+         EXCEPT
+         SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+       UNION
+       SELECT o_custkey FROM orders WHERE o_orderstatus = 'P'""",
+)
+def except_union(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    f = o.where(F.col("o_orderstatus") == "F").select("o_custkey")
+    op = o.where(F.col("o_orderstatus") == "O").select("o_custkey")
+    p = o.where(F.col("o_orderstatus") == "P").select("o_custkey")
+    # subtract = SQL EXCEPT (set semantics); exceptAll is bag semantics
+    return f.subtract(op).union(p).distinct()
+
+
+# --- scalar function families ----------------------------------------------------
+
+
+@q(
+    "string_functions",
+    """SELECT p_partkey,
+              lower(p_name) AS lname,
+              CAST(length(p_name) AS BIGINT) AS name_len,
+              substring(p_brand, 1, 5) AS brand5,
+              concat_ws('|', p_type, p_brand) AS type_brand,
+              regexp_extract(p_type, '([A-Z]+)', 1) AS first_caps,
+              CAST(contains(p_name, 'a') AS BOOLEAN) AS has_a
+       FROM part""",
+)
+def string_functions(spark, sf_dir):
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.lower("p_name").alias("lname"),
+        F.length("p_name").cast("long").alias("name_len"),
+        F.substring("p_brand", 1, 5).alias("brand5"),
+        F.concat_ws("|", "p_type", "p_brand").alias("type_brand"),
+        F.regexp_extract("p_type", "([A-Z]+)", 1).alias("first_caps"),
+        F.col("p_name").contains("a").alias("has_a"),
+    )
+
+
+@q(
+    "date_functions",
+    """SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MIN(year(o_orderdate)) AS BIGINT) AS min_year,
+              CAST(MAX(month(o_orderdate)) AS BIGINT) AS max_month
+       FROM orders GROUP BY 1""",
+)
+def date_functions(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.date_trunc("month", "o_orderdate").cast("date").alias("month"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min(F.year("o_orderdate")).cast("long").alias("min_year"),
+            F.max(F.month("o_orderdate")).cast("long").alias("max_month"),
+        )
+    )
+
+
+@q(
+    "math_functions",
+    """SELECT l_orderkey, l_linenumber,
+              CAST(ROUND(abs(l_discount - 0.05), 4) AS DOUBLE) AS abs_disc,
+              CAST(ROUND(pow(l_quantity, 2), 2) AS DOUBLE) AS qty_sq,
+              CAST(ROUND(ln(l_extendedprice), 6) AS DOUBLE) AS log_price,
+              CAST(((CAST(l_partkey AS BIGINT) % 7) + 7) % 7 AS BIGINT) AS pk_mod
+       FROM lineitem WHERE l_extendedprice > 0""",
+)
+def math_functions(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(F.col("l_extendedprice") > 0).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.round(F.abs(F.col("l_discount") - 0.05), 4).cast("double").alias("abs_disc"),
+        F.round(F.pow("l_quantity", F.lit(2)), 2).cast("double").alias("qty_sq"),
+        F.round(F.log(F.col("l_extendedprice")), 6).cast("double").alias("log_price"),
+        F.pmod(F.col("l_partkey").cast("long"), F.lit(7)).cast("long").alias("pk_mod"),
+    )
+
+
+@q(
+    "array_functions_embeddings",
+    """SELECT vec_id, label,
+              CAST(len(embedding) AS BIGINT) AS dim,
+              CAST(ROUND(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))), 4) AS DOUBLE) AS sq_norm,
+              CAST(ROUND(CAST(embedding[1] AS DOUBLE) + CAST(embedding[2] AS DOUBLE), 5) AS DOUBLE) AS first_two
+       FROM embeddings""",
+)
+def array_functions_embeddings(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    sq = F.aggregate(
+        F.transform(F.col("embedding"), lambda x: x.cast("double") * x.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return e.select(
+        "vec_id",
+        "label",
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(sq, 4).cast("double").alias("sq_norm"),
+        F.round(
+            F.element_at("embedding", 1).cast("double") + F.element_at("embedding", 2).cast("double"), 5
+        ).cast("double").alias("first_two"),
+    )
+
+
+@q(
+    "json_functions_events",
+    """SELECT event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS max_k,
+              CAST(ROUND(AVG(CAST(json_extract_string(props, '$.k') AS BIGINT)), 4) AS DOUBLE) AS avg_k
+       FROM events GROUP BY event_type""",
+)
+def json_functions_events(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("long")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.max(k).alias("max_k"),
+        F.round(F.avg(k), 4).cast("double").alias("avg_k"),
+    )
+
+
+@q(
+    "pivot_event_values",
+    """SELECT user_id % 10 AS user_bucket,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS clicks,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS views,
+              CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS purchases
+       FROM events GROUP BY 1""",
+)
+def pivot_event_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy((F.col("user_id") % 10).alias("user_bucket")).agg(
+        F.count(F.when(F.col("event_type") == "click", 1)).alias("clicks"),
+        F.count(F.when(F.col("event_type") == "view", 1)).alias("views"),
+        F.count(F.when(F.col("event_type") == "purchase", 1)).alias("purchases"),
+    )
+
+
+@q(
+    "sql_exists_subquery",
+    """SELECT s_suppkey, s_name FROM supplier s
+       WHERE EXISTS (SELECT 1 FROM lineitem l WHERE l.l_suppkey = s.s_suppkey
+                     AND l.l_quantity > 45)""",
+)
+def sql_exists_subquery(spark, sf_dir):
+    _t(spark, sf_dir, "supplier").createOrReplaceTempView("supplier_x")
+    _t(spark, sf_dir, "lineitem").createOrReplaceTempView("lineitem_x")
+    return spark.sql(
+        """SELECT s_suppkey, s_name FROM supplier_x s
+           WHERE EXISTS (SELECT 1 FROM lineitem_x l WHERE l.l_suppkey = s.s_suppkey
+                         AND l.l_quantity > 45)"""
+    )
+
+
+# --- dedup family ---------------------------------------------------------------
+
+
+@q(
+    "dedup_exact_documents",
+    """SELECT CAST(MIN(doc_id) AS BIGINT) AS doc_id, CAST(COUNT(*) AS BIGINT) AS dup_count
+       FROM documents GROUP BY sha256(text)""",
+)
+def dedup_exact_documents(spark, sf_dir):
+    from shacl_spark.operators.dedup import exact_dedup
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_dedup(docs, "doc_id", "text")
+
+
+@q("dedup_minhash_lsh")  # rows-only: LSH banding is engine-defined
+def dedup_minhash_lsh(spark, sf_dir):
+    from shacl_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_lsh_pairs(docs, "doc_id", "text")
+
+
+@q("dedup_simhash")  # rows-only
+def dedup_simhash(spark, sf_dir):
+    from shacl_spark.operators.dedup import simhash_dedup_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return simhash_dedup_pairs(docs, "doc_id", "text", max_hamming=3)
+
+
+@q("dedup_ngram_jaccard")  # rows-only (verify stage over LSH candidates)
+def dedup_ngram_jaccard(spark, sf_dir):
+    from shacl_spark.operators.dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    pairs = minhash_lsh_pairs(docs, "doc_id", "text")
+    return ngram_jaccard_pairs(pairs, docs, "doc_id", "text", threshold=0.8)
+
+
+@q("dedup_embedding_cosine")  # rows-only
+def dedup_embedding_cosine(spark, sf_dir):
+    from shacl_spark.operators.dedup import embedding_dedup_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_dedup_pairs(emb, "vec_id", "embedding", threshold=0.99)
+
+
+# --- similarity search -------------------------------------------------------------
+
+
+@q(
+    "ann_brute_force_topk",
+    """WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5),
+         scored AS (
+           SELECT q.query_id, e.vec_id,
+                  list_sum(list_transform(list_zip(e.embedding, q.qv),
+                           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                  / (sqrt(list_sum(list_transform(e.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           FROM embeddings e CROSS JOIN q)
+       SELECT query_id, vec_id,
+              CAST(ROUND(cos, 5) AS DOUBLE) AS cosine,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+             FROM scored) WHERE rnk <= 10""",
+)
+def ann_brute_force_topk(spark, sf_dir):
+    from shacl_spark.operators.similarity import brute_force_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = brute_force_topk(emb, queries, k=10)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 5).cast("double").alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
+@q("ann_lsh_topk")  # rows-only: bucketing is engine-defined
+def ann_lsh_topk(spark, sf_dir):
+    from shacl_spark.operators.similarity import lsh_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    return lsh_topk(emb, queries, k=10)
+
+
+@q(
+    "embedding_centroids",
+    """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 5) AS DOUBLE) AS c0,
+              CAST(ROUND(AVG(CAST(embedding[2] AS DOUBLE)), 5) AS DOUBLE) AS c1
+       FROM embeddings GROUP BY label""",
+)
+def embedding_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return e.groupBy("label").agg(
+        F.count("*").alias("n"),
+        F.round(F.avg(F.element_at("embedding", 1).cast("double")), 5).cast("double").alias("c0"),
+        F.round(F.avg(F.element_at("embedding", 2).cast("double")), 5).cast("double").alias("c1"),
+    )
+
+
+# --- text analysis --------------------------------------------------------------------
+
+
+@q(
+    "text_token_stats",
+    """SELECT doc_id,
+              CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS BIGINT) AS tokens,
+              CAST(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]|[^ \\tA-Za-z0-9]')) AS BIGINT) AS bpe_tokens,
+              CAST(length(text) AS BIGINT) AS chars
+       FROM documents""",
+)
+def text_token_stats(spark, sf_dir):
+    from shacl_spark.operators.text import bpe_ish_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        token_count(F.col("text")).cast("long").alias("tokens"),
+        bpe_ish_token_count(F.col("text")).cast("long").alias("bpe_tokens"),
+        F.length("text").cast("long").alias("chars"),
+    )
+
+
+@q("text_language_quality")  # rows-only (heuristic langid + quality)
+def text_language_quality(spark, sf_dir):
+    from shacl_spark.operators.text import detect_language, quality_score
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        "lang",
+        detect_language(F.col("text")).alias("detected_lang"),
+        F.round(quality_score(F.col("text")), 6).cast("double").alias("quality"),
+    )
+
+
+@q("text_fingerprint")  # rows-only (engine-defined rolling hash)
+def text_fingerprint(spark, sf_dir):
+    from shacl_spark.operators.text import fingerprint
+
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", fingerprint(F.col("text")).alias("fp"))
+
+
+@q(
+    "doc_token_explode_topk",
+    """SELECT token, CAST(COUNT(*) AS BIGINT) AS n
+       FROM (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS token
+             FROM documents)
+       GROUP BY token ORDER BY n DESC, token ASC LIMIT 20""",
+)
+def doc_token_explode_topk(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return (
+        docs.select(
+            F.explode(F.split(F.trim(F.lower("text")), "\\s+")).alias("token")
+        )
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), F.asc("token"))
+        .limit(20)
+    )
+
+
+# --- streaming (batch twins carry the oracle; streaming run in tests) -------------------
+
+
+@q(
+    "stream_tumbling_counts",
+    """SELECT date_trunc('hour', ts) AS window_start, event_type,
+              CAST(COUNT(*) AS BIGINT) AS n,
+              CAST(ROUND(SUM(CAST(value AS DECIMAL(18,6))), 4) AS DOUBLE) AS total_value
+       FROM events GROUP BY 1, 2""",
+)
+def stream_tumbling_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum(F.col("value").cast("decimal(18,6)")), 4).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+
+
+@q(
+    "stream_sliding_counts",
+    """SELECT time_bucket(INTERVAL '15 minutes', ts) - o.off * INTERVAL '15 minutes' AS window_start,
+              CAST(COUNT(*) AS BIGINT) AS n
+       FROM events CROSS JOIN (SELECT unnest([0,1,2,3]) AS off) o
+       GROUP BY 1""",
+)
+def stream_sliding_counts(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("window_start"), "n")
+    )
+
+
+@q(
+    "stream_session_windows",
+    """WITH flagged AS (
+         SELECT user_id, ts, value,
+                CASE WHEN lag(ts) OVER w IS NULL
+                          OR ts >= lag(ts) OVER w + INTERVAL '30 minutes'
+                     THEN 1 ELSE 0 END AS new_s
+         FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+       sess AS (
+         SELECT *, SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+         FROM flagged)
+       SELECT user_id, MIN(ts) AS session_start,
+              MAX(ts) + INTERVAL '30 minutes' AS session_end,
+              CAST(COUNT(*) AS BIGINT) AS n_events
+       FROM sess GROUP BY user_id, sid""",
+)
+def stream_session_windows(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("s"), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            "user_id",
+            F.col("s.start").alias("session_start"),
+            F.col("s.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@q(
+    "stream_dedup_count",
+    """SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM events""",
+)
+def stream_dedup_count(spark, sf_dir):
+    # true streaming run: file replay → dropDuplicatesWithinWatermark → count
+    import uuid
+
+    from shacl_spark.streaming.events import replay_stream, stateful_dedup
+
+    name = "dedup_" + uuid.uuid4().hex[:8]
+    stream = replay_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    deduped = stateful_dedup(stream)
+    q_ = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.sql(f"SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM {name}")
+
+
+# --- multimodal plumbing (stub kernels, real Spark machinery) ---------------------------
+
+
+@q("multimodal_features")  # rows-only: fake kernel, real mapInPandas flow
+def multimodal_features(spark, sf_dir):
+    from shacl_spark.operators.multimodal import extract_features, synth_media
+
+    media = synth_media(spark, 200, parts=4)
+    return extract_features(media)
+
+
+@q("multimodal_frame_plan")  # rows-only
+def multimodal_frame_plan(spark, sf_dir):
+    from shacl_spark.operators.multimodal import frame_sample_plan, synth_media
+
+    media = synth_media(spark, 100, parts=4)
+    return frame_sample_plan(media, every_ms=10_000)
+
+
+# --- KG pipeline on the documents corpus (driver-visible smoke of the flagship path) ----
+
+
+@q("kg_extract_documents")  # rows-only: regex extraction is engine-defined
+def kg_extract_documents(spark, sf_dir):
+    """documents-as-corpus: run the real extraction stage over the
+    documents table shaped into (repo,path,commit,lang,content)."""
+    from shacl_spark.kg.extract import extract_triples
+
+    docs = _t(spark, sf_dir, "documents")
+    corpus = docs.select(
+        F.col("source").alias("repo"),
+        F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
+        F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
+        F.lit("python").alias("lang"),
+        F.col("text").alias("content"),
+    )
+    return extract_triples(corpus, n_parts=64)
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    """One entry per implemented operator from SURVEY.md §2."""
+    return dict(_QUERIES)
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    """DuckDB-equivalent SQL for each SQL-expressible query."""
+    return dict(_ORACLES)

@@ -1,0 +1,190 @@
+"""Document deduplication operators for training-data pipelines.
+
+All variants are composable DataFrame transforms over a corpus frame
+with (id, text) columns; everything except nothing is JVM-side —
+shingling, minhash, simhash and banding are Column expressions
+(codegen), so the only cost centers are the band/groupBy shuffles.
+
+- exact_dedup         : sha256(text) hash-groupBy, keep min id
+- minhash_lsh_pairs   : near-dup candidate pairs via word-shingle
+                        minhash + banding (reuses kg/minhash machinery)
+- simhash             : 64-bit simhash over word hashes (bit-vote via
+                        explode + groupBy; hamming distance join helper)
+- ngram_jaccard_pairs : exact n-gram Jaccard verification on candidate
+                        pairs (the verify stage after LSH blocking)
+- embedding_dedup_pairs: cosine near-dup pairs over embeddings
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shacl_spark.functions.vectors import cosine_similarity
+from shacl_spark.kg.minhash import band_hashes, minhash_signature
+
+
+def word_shingles(text: Column, n: int = 3) -> Column:
+    """Word n-gram shingles as array<string> (JVM-side)."""
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+            lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def exact_dedup(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Exact dedup: hash-groupBy on sha256(text), keep the min id.
+    One shuffle on a uniform key — scales linearly."""
+    return (
+        df.withColumn("__h", F.sha2(F.col(text_col), 256))
+        .groupBy("__h")
+        .agg(F.min(id_col).alias(id_col), F.count("*").alias("dup_count"))
+        .drop("__h")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    n_hashes: int = 64,
+    bands: int = 16,
+    shingle_n: int = 3,
+    max_bucket: int = 256,
+) -> DataFrame:
+    """Near-duplicate candidate pairs DF[id_a, id_b] via minhash-LSH
+    over word shingles (shingle→minhash→band→bucket-join)."""
+    rows = n_hashes // bands
+    sig = (
+        df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+        )
+        .where(F.size("sh") > 0)
+        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .select(
+            "id",
+            F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias(
+                "band_id", "band_hash"
+            ),
+        )
+    )
+    small = (
+        sig.groupBy("band_id", "band_hash")
+        .agg(F.count("*").alias("n"))
+        .where(F.col("n") <= max_bucket)
+        .drop("n")
+    )
+    sig = sig.join(small, ["band_id", "band_hash"], "left_semi")
+    a, b = sig.alias("a"), sig.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_id") == F.col("b.band_id"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+
+def simhash(text: Column, bits: int = 64) -> Column:
+    """64-bit SimHash of the word set, as bigint — per-bit majority vote
+    of word hashes, entirely with higher-order functions."""
+    words = F.array_distinct(F.split(F.lower(F.trim(text)), "\\s+"))
+    hashes = F.transform(words, lambda w: F.xxhash64(w))
+    # vote per bit: sum of (+1 / -1); sign -> bit
+    def bit(i: int) -> Column:
+        votes = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, i).bitwiseAND(F.lit(1)) == 1, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        return F.when(votes > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out.bitwiseOR(F.shiftleft(bit(i), i))
+    return out
+
+
+def hamming64(a: Column, b: Column) -> Column:
+    return F.bit_count(a.bitwiseXOR(b))
+
+
+def simhash_dedup_pairs(
+    df: DataFrame, id_col: str, text_col: str, max_hamming: int = 3,
+    prefix_bits: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by simhash: block on the top ``prefix_bits`` bits
+    (near-dups usually share the prefix), verify hamming ≤ k in-bucket.
+    A full multi-probe rotation scheme is a straightforward extension —
+    this keeps one shuffle."""
+    s = df.select(
+        F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
+    ).withColumn("blk", F.shiftrightunsigned("sh", 64 - prefix_bits))
+    a, b = s.alias("a"), s.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .where(hamming64(F.col("a.sh"), F.col("b.sh")) <= max_hamming)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            hamming64(F.col("a.sh"), F.col("b.sh")).alias("hamming"),
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame,
+    docs: DataFrame,
+    id_col: str,
+    text_col: str,
+    n: int = 3,
+    threshold: float = 0.8,
+) -> DataFrame:
+    """Verification stage: exact word-n-gram Jaccard for candidate
+    pairs.  Two joins to attach shingle arrays, then JVM-side set ops
+    (array_intersect/array_union) — no Python."""
+    sh = docs.select(
+        F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
+    )
+    out = (
+        pairs.join(sh.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a")
+        .join(sh.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .where(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+def embedding_dedup_pairs(
+    emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
+    block_planes: int = 8,
+) -> DataFrame:
+    """Cosine near-dup pairs over an embedding column.  Blocks on a
+    random-hyperplane LSH sign bucket (deterministic planes) so the
+    self-join is per-bucket, then verifies exact cosine ≥ threshold."""
+    from shacl_spark.operators.similarity import hyperplane_bucket
+
+    e = emb.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+    ).withColumn("blk", hyperplane_bucket(F.col("v"), n_planes=block_planes))
+    a, b = e.alias("a"), e.alias("b")
+    return (
+        a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
+        .withColumn("cos", cosine_similarity(F.col("a.v"), F.col("b.v")))
+        .where(F.col("cos") >= threshold)
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("cos").alias("cosine"))
+    )

@@ -1,0 +1,133 @@
+"""Similarity search over embedding columns (array<float>).
+
+- brute-force cosine top-k: exact baseline — broadcast the (small)
+  query set, score every row with JVM-side higher-order functions,
+  take per-query top-k with a ranking window.
+- IVF-style LSH-bucketed ANN: deterministic random-hyperplane sign
+  buckets (planes derived from a fixed seed on the driver, embedded as
+  literal arrays → pure Column math).  At 100 TB the bucket key is the
+  shuffle/partition key; queries probe only their own bucket (and
+  optionally neighboring buckets by flipping one bit — multiprobe).
+"""
+
+from __future__ import annotations
+
+import math
+import random
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import Window as W
+
+from shacl_spark.functions.vectors import cosine_similarity, dot
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic unit hyperplanes (driver-side, tiny)."""
+    rng = random.Random(seed)
+    planes = []
+    for _ in range(n_planes):
+        v = [rng.gauss(0.0, 1.0) for _ in range(dim)]
+        norm = math.sqrt(sum(x * x for x in v)) or 1.0
+        planes.append([x / norm for x in v])
+    return planes
+
+
+def hyperplane_bucket(vec: Column, n_planes: int = 8, dim: int = 64, seed: int = 42) -> Column:
+    """LSH bucket id = sign-bit string of dot products with fixed
+    hyperplanes — entirely JVM-side (literal plane arrays + zip_with)."""
+    bucket = F.lit(0).cast("long")
+    for i, plane in enumerate(_planes(dim, n_planes, seed)):
+        plane_col = F.array(*[F.lit(float(x)) for x in plane])
+        bit = F.when(dot(vec, plane_col) >= 0, F.lit(1).cast("long")).otherwise(
+            F.lit(0).cast("long")
+        )
+        bucket = bucket.bitwiseOR(F.shiftleft(bit, i))
+    return bucket
+
+
+def brute_force_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+) -> DataFrame:
+    """Exact cosine top-k per query: broadcast queries (small side),
+    score all data rows, per-query ranking window.
+
+    DF[query_id, vec_id, cosine, rank]."""
+    q = F.broadcast(
+        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+    )
+    scored = data.select(F.col(id_col), F.col(vec_col).alias("dv")).crossJoin(q)
+    scored = scored.withColumn("cosine", cosine_similarity(F.col("dv"), F.col("qv")))
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def lsh_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    n_planes: int = 6,
+    dim: int = 64,
+    multiprobe: bool = True,
+) -> DataFrame:
+    """Approximate top-k: equi-join on the hyperplane bucket instead of
+    a cross product.  With multiprobe, each query also probes the
+    n_planes one-bit-flip neighbor buckets (recall boost at small cost).
+    The scale path: data is hash-partitioned by bucket; per-bucket
+    candidate sets are tiny fractions of the corpus."""
+    d = data.select(
+        F.col(id_col), F.col(vec_col).alias("dv")
+    ).withColumn("bucket", hyperplane_bucket(F.col("dv"), n_planes, dim))
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv")).withColumn(
+        "qbucket", hyperplane_bucket(F.col("qv"), n_planes, dim)
+    )
+    if multiprobe:
+        probes = F.array(
+            F.col("qbucket"),
+            *[F.col("qbucket").bitwiseXOR(F.lit(1 << i)).cast("long") for i in range(n_planes)],
+        )
+        q = q.withColumn("bucket", F.explode(probes))
+    else:
+        q = q.withColumn("bucket", F.col("qbucket"))
+
+    scored = d.join(F.broadcast(q.select(query_id, "qv", "bucket")), "bucket")
+    scored = scored.withColumn("cosine", cosine_similarity(F.col("dv"), F.col("qv")))
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )
+
+
+def centroids_by_label(
+    emb: DataFrame, label_col: str = "label", vec_col: str = "embedding", dim: int = 64
+) -> DataFrame:
+    """Per-label mean vector — element-wise agg via posexplode +
+    groupBy(label, pos) + array rebuild.  (A grouped-agg pandas UDF is
+    the alternative; this stays JVM-side.)"""
+    exploded = emb.select(
+        F.col(label_col), F.posexplode(F.col(vec_col)).alias("pos", "x")
+    )
+    means = exploded.groupBy(label_col, "pos").agg(F.avg("x").alias("m"))
+    return (
+        means.groupBy(label_col)
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            label_col,
+            F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
+        )
+    )

@@ -1,0 +1,52 @@
+"""Every __spark_entry__.queries() entry runs; every oracle_sql()
+entry hash-matches DuckDB (driver-gate mirror, sf0.001 for speed —
+the driver itself runs sf0.01)."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import __spark_entry__ as entrymod
+from tests.contract import compare, duck_con
+
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF", "/root/testdata/sf0.001")
+
+QUERIES = entrymod.queries()
+ORACLES = entrymod.oracle_sql()
+
+
+@pytest.fixture(scope="module")
+def con():
+    c = duck_con(SF_DIR)
+    yield c
+    c.close()
+
+
+def test_oracle_keys_subset():
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_runs(spark, name):
+    df = QUERIES[name](spark, SF_DIR)
+    n = df.count()
+    assert n >= 0
+    assert df.columns  # stable schema
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_query_matches_oracle(spark, con, name):
+    df = QUERIES[name](spark, SF_DIR)
+    ok, msg = compare(df, con, ORACLES[name])
+    assert ok, f"{name}: {msg}"
+
+
+def test_entry_smoke(spark):
+    out = entrymod.entry(spark)
+    rows = out.collect()
+    assert len(rows) > 0
+    metrics = {r["metric"]: r["value"] for r in rows}
+    assert metrics["kg_triples"] > 0
+    assert metrics["kg_violations"] == 0
