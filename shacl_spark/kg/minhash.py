@@ -10,8 +10,11 @@ groupBy, whose keys are uniform by construction (hash values).
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 
 def normalized(name: Column) -> Column:
@@ -30,11 +33,104 @@ def shingles(norm: Column, k: int = 3) -> Column:
     )
 
 
-def minhash_signature(shingle_col: Column, n_hashes: int = 64) -> Column:
-    """n permutations approximated by seeded murmur3: sig[i] =
-    min_{s in shingles} hash(s, seed_i)."""
+MERSENNE31 = (1 << 31) - 1
+
+
+def hashed_shingles(shingle_col: Column) -> Column:
+    """Hash each shingle string ONCE into the 31-bit range — the input
+    to the affine minhash permutations."""
+    return F.transform(shingle_col, lambda s: F.pmod(F.xxhash64(s), F.lit(MERSENNE31)))
+
+
+def _perm_coeffs(n_hashes: int) -> tuple[list[int], list[int]]:
+    a = [(((2 * i + 1) * 2654435761) % MERSENNE31) or 1 for i in range(n_hashes)]
+    b = [(i * 40503 + 2531011) % MERSENNE31 for i in range(n_hashes)]
+    return a, b
+
+
+def minhash_signature(hashed_col: Column, n_hashes: int = 64) -> Column:
+    """n permutations over pre-hashed shingles: sig[i] =
+    min (a_i * h + b_i) mod p.
+
+    Implementation note: a pure-Column version (n × transform/array_min)
+    blows past the whole-stage-codegen method-size limit at n=64 and
+    falls back to interpreted evaluation (~2.6 ms/row measured).  The
+    numpy pandas-UDF below does the same math as one (shingles × n)
+    broadcast per Arrow batch — ~100× faster, still deterministic.
+    31-bit h and a keep ``h*a + b`` < 2^62 (no int64 overflow).
+    """
+    a_np_list, b_np_list = _perm_coeffs(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(hs: pd.Series) -> pd.Series:
+        a = np.asarray(a_np_list, dtype=np.uint64)
+        b = np.asarray(b_np_list, dtype=np.uint64)
+        out = []
+        empty = np.full(n_hashes, MERSENNE31, dtype=np.int64)
+        for arr in hs:
+            if arr is None or len(arr) == 0:
+                out.append(empty)
+                continue
+            h = np.asarray(arr, dtype=np.uint64)[:, None]  # (s, 1)
+            sig = ((h * a + b) % MERSENNE31).min(axis=0).astype(np.int64)
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sig(hashed_col)
+
+
+def minhash_signature_from_words(
+    wh_col: Column, n_hashes: int = 64, shingle_n: int = 3
+) -> Column:
+    """Fused shingle-combine + minhash over a word-hash array column:
+    the word-n-gram shingle hashes are formed in numpy (rolling affine
+    combine of adjacent word hashes) and immediately reduced to the
+    n-permutation min — a single Arrow stage, no shingle arrays ever
+    cross the JVM/Python boundary.
+
+    Catalyst's ProjectCollapse otherwise inlines a bound word-hash
+    array into every element_at of a Column-level shingle combine,
+    which re-materializes the array per element (O(words²), measured
+    ~30s on 5k docs vs ~4s for this fused path).
+    """
+    a_np_list, b_np_list = _perm_coeffs(n_hashes)
+
+    @F.pandas_udf(T.ArrayType(T.LongType()))
+    def _sig(wh: pd.Series) -> pd.Series:
+        a = np.asarray(a_np_list, dtype=np.uint64)
+        b = np.asarray(b_np_list, dtype=np.uint64)
+        out = []
+        empty = np.full(n_hashes, MERSENNE31, dtype=np.int64)
+        for arr in wh:
+            if arr is None or len(arr) < shingle_n:
+                out.append(empty)
+                continue
+            h = np.asarray(arr, dtype=np.uint64)
+            acc = h[: len(h) - shingle_n + 1].copy()
+            for k in range(1, shingle_n):
+                acc = (acc * 8191 + h[k : len(h) - shingle_n + 1 + k]) % MERSENNE31
+            sh = np.unique(acc)[:, None]
+            sig = ((sh * a + b) % MERSENNE31).min(axis=0).astype(np.int64)
+            out.append(sig)
+        return pd.Series(out)
+
+    return _sig(wh_col)
+
+
+def minhash_signature_cols(hashed_col: Column, n_hashes: int = 64) -> Column:
+    """Pure-Column variant (no Python) — fine for small n_hashes; kept
+    for environments where Python workers are undesirable."""
+    a_list, b_list = _perm_coeffs(n_hashes)
     return F.array(
-        *[F.array_min(F.transform(shingle_col, lambda s, i=i: F.hash(s, F.lit(i * 2654435761 + 1)))) for i in range(n_hashes)]
+        *[
+            F.array_min(
+                F.transform(
+                    hashed_col,
+                    lambda h, a=a, b=b: F.pmod(h * F.lit(a) + F.lit(b), F.lit(MERSENNE31)),
+                )
+            )
+            for a, b in zip(a_list, b_list)
+        ]
     )
 
 
@@ -67,9 +163,9 @@ def candidate_pairs(
         names.select(
             F.col(id_col).alias("id"),
             F.col(name_col).alias("name"),
-            shingles(normalized(F.col(name_col)), shingle_k).alias("sh"),
+            hashed_shingles(shingles(normalized(F.col(name_col)), shingle_k)).alias("hs"),
         )
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .withColumn("sig", minhash_signature(F.col("hs"), n_hashes))
         .select(
             "id", "name",
             F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias("band_id", "band_hash"),

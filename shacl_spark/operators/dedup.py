@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from shacl_spark.functions.vectors import cosine_similarity
-from shacl_spark.kg.minhash import band_hashes, minhash_signature
+from shacl_spark.kg.minhash import band_hashes, hashed_shingles, minhash_signature
 
 
 def word_shingles(text: Column, n: int = 3) -> Column:
@@ -31,6 +31,35 @@ def word_shingles(text: Column, n: int = 3) -> Column:
         F.transform(
             F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
             lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)),
+        )
+    )
+
+
+def word_hashes(text: Column) -> Column:
+    """Each word hashed once into the 31-bit range."""
+    from shacl_spark.kg.minhash import MERSENNE31
+
+    words = F.split(F.lower(F.trim(text)), "\\s+")
+    return F.transform(words, lambda w: F.pmod(F.xxhash64(w), F.lit(MERSENNE31)))
+
+
+def shingle_hashes_from_words(wh: Column, n: int = 3) -> Column:
+    """Word-n-gram shingle hashes by combining adjacent word hashes
+    arithmetically (31-bit, overflow-safe) — no shingle strings are
+    ever materialized.  IMPORTANT: ``wh`` must be a bound column (not
+    an inline transform) — element_at over an inline transform
+    re-materializes the whole array per element (O(n²), measured)."""
+    from shacl_spark.kg.minhash import MERSENNE31
+
+    def combine(i: Column) -> Column:
+        acc = F.element_at(wh, i + 1)
+        for k in range(1, n):
+            acc = F.pmod(acc * F.lit(8191) + F.element_at(wh, i + 1 + k), F.lit(MERSENNE31))
+        return acc
+
+    return F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(0), F.greatest(F.size(wh) - n, F.lit(0))), combine
         )
     )
 
@@ -57,14 +86,16 @@ def minhash_lsh_pairs(
 ) -> DataFrame:
     """Near-duplicate candidate pairs DF[id_a, id_b] via minhash-LSH
     over word shingles (shingle→minhash→band→bucket-join)."""
+    from shacl_spark.kg.minhash import minhash_signature_from_words
+
     rows = n_hashes // bands
     sig = (
         df.select(
             F.col(id_col).alias("id"),
-            word_shingles(F.col(text_col), shingle_n).alias("sh"),
+            word_hashes(F.col(text_col)).alias("wh"),
         )
-        .where(F.size("sh") > 0)
-        .withColumn("sig", minhash_signature(F.col("sh"), n_hashes))
+        .where(F.size("wh") >= shingle_n)
+        .withColumn("sig", minhash_signature_from_words(F.col("wh"), n_hashes, shingle_n))
         .select(
             "id",
             F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias(
