@@ -33,6 +33,15 @@ def get_spark(
         except ValueError:
             shuffle_partitions = os.cpu_count() or 8
 
+    # shuffle/spill scratch: on this sandbox the root disk serializes
+    # concurrent shuffle writers (measured: 32-thread dedup shuffle 7×
+    # slower than 8-thread on /tmp); tmpfs removes the bottleneck.  On a
+    # real cluster spark.local.dir is provisioned NVMe and this default
+    # is overridden by the deployment.
+    local_dir = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if local_dir is None and os.path.isdir("/dev/shm"):
+        local_dir = "/dev/shm/spark-local"
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
@@ -54,6 +63,8 @@ def get_spark(
         .config("spark.ui.showConsoleProgress", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
+    if local_dir:
+        builder = builder.config("spark.local.dir", local_dir)
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()
