@@ -21,6 +21,8 @@ from __future__ import annotations
 import os
 from collections.abc import Callable
 
+import pandas as pd
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
@@ -614,6 +616,83 @@ def sql_exists_subquery(spark, sf_dir):
         """SELECT s_suppkey, s_name FROM supplier_x s
            WHERE EXISTS (SELECT 1 FROM lineitem_x l WHERE l.l_suppkey = s.s_suppkey
                          AND l.l_quantity > 45)"""
+    )
+
+
+# --- pandas-UDF surfaces (grouped map / grouped agg) ------------------------------
+
+
+@q(
+    "grouped_map_zscore",
+    """SELECT event_id, event_type,
+              CAST(ROUND((value - AVG(value) OVER (PARTITION BY event_type))
+                   / STDDEV_SAMP(value) OVER (PARTITION BY event_type), 4) AS DOUBLE) AS zscore
+       FROM events""",
+)
+def grouped_map_zscore(spark, sf_dir):
+    """applyInPandas grouped-map: per-event-type z-score normalization."""
+    ev = _t(spark, sf_dir, "events").select("event_id", "event_type", "value")
+
+    def zscore(pdf: pd.DataFrame) -> pd.DataFrame:
+        mu = pdf["value"].mean()
+        sd = pdf["value"].std(ddof=1)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "event_type": pdf["event_type"],
+                "zscore": ((pdf["value"] - mu) / sd).round(4),
+            }
+        )
+
+    return ev.groupBy("event_type").applyInPandas(
+        zscore, "event_id long, event_type string, zscore double"
+    )
+
+
+@q(
+    "grouped_agg_centroid",
+    """SELECT label,
+              CAST(ROUND(AVG(CAST(embedding[1] AS DOUBLE)), 5) AS DOUBLE) AS c0_mean
+       FROM embeddings GROUP BY label""",
+)
+def grouped_agg_centroid(spark, sf_dir):
+    """pandas GROUPED_AGG UDF inside agg(): mean of the first embedding
+    coordinate per label (numpy-reduced per group)."""
+    from pyspark.sql import types as T
+
+    @F.pandas_udf(T.DoubleType())
+    def mean_first(v: pd.Series) -> float:
+        return float(v.mean())
+
+    e = _t(spark, sf_dir, "embeddings").select(
+        "label", F.element_at("embedding", 1).cast("double").alias("e0")
+    )
+    return e.groupBy("label").agg(
+        F.round(mean_first("e0"), 5).cast("double").alias("c0_mean")
+    )
+
+
+@q("approx_distinct_hll")  # rows-only: HLL estimate is engine-specific
+def approx_distinct_hll(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+
+@q(
+    "percentile_values",
+    """SELECT event_type,
+              CAST(ROUND(quantile_cont(value, 0.5), 4) AS DOUBLE) AS p50,
+              CAST(ROUND(quantile_cont(value, 0.9), 4) AS DOUBLE) AS p90
+       FROM events GROUP BY event_type""",
+)
+def percentile_values(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.5)"), 4).cast("double").alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 4).cast("double").alias("p90"),
     )
 
 
