@@ -329,6 +329,41 @@ case("targets_subjectsof_objectsof",
       ("ex:SP2", SH + "path", "ex:knows"),
       ("ex:SP2", SH + "nodeKind", SH + "IRI")])
 
+case("paths_oneormore_zeroorone",
+     [("ex:a", T, "ex:Chain"), ("ex:a", "ex:next", "ex:b"),
+      ("ex:b", "ex:next", "ex:c"),
+      ("ex:solo", T, "ex:Chain")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Chain"),
+      ("ex:S", SH + "property", "ex:SPlus"), ("ex:S", SH + "property", "ex:SOpt"),
+      # next+ : ex:a reaches {b,c}; ex:solo reaches {} → minCount 1 violated
+      ("ex:SPlus", SH + "path", "ex:plusnode"),
+      ("ex:plusnode", SH + "oneOrMorePath", "ex:next"),
+      ("ex:SPlus", SH + "minCount", "1", "literal", XS + "integer"),
+      # next? : node itself ∪ one hop → maxCount 2 holds everywhere
+      ("ex:SOpt", SH + "path", "ex:optnode"),
+      ("ex:optnode", SH + "zeroOrOnePath", "ex:next"),
+      ("ex:SOpt", SH + "maxCount", "2", "literal", XS + "integer")])
+
+case("deep_subclass_closure",
+     [("ex:D", SCO, "ex:C"), ("ex:C", SCO, "ex:B"), ("ex:B", SCO, "ex:A"),
+      ("ex:x", T, "ex:D"), ("ex:y", T, "ex:B"), ("ex:z", T, "ex:Other"),
+      ("ex:x", "ex:tag", "ok", "literal", XS + "string")],
+     [  # target = SHACL instances of ex:A (via 3-level closure): x, y
+      ("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:A"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:tag"),
+      ("ex:SP", SH + "minCount", "1", "literal", XS + "integer")])
+
+case("implicit_class_target",
+     [("ex:w", T, "ex:ImpShape"),
+      ("ex:v", T, "ex:ImpShape"), ("ex:v", "ex:name", "V", "literal", XS + "string")],
+     [  # the shape is itself an rdfs:Class → its instances are targets
+      ("ex:ImpShape", T, SH + "NodeShape"),
+      ("ex:ImpShape", T, RDFS + "Class"),
+      ("ex:ImpShape", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:name"),
+      ("ex:SP", SH + "minCount", "1", "literal", XS + "integer")])
+
 # ---- severity/deactivated/message ----------------------------------------------
 
 case("severity_deactivated",
