@@ -74,11 +74,25 @@ def _tkey(term) -> str:
 
 
 class Validator:
-    def __init__(self, spark: SparkSession, triples: DataFrame, shapes: ShapesGraph):
+    def __init__(
+        self,
+        spark: SparkSession,
+        triples: DataFrame,
+        shapes: ShapesGraph,
+        cache: bool = True,
+    ):
+        """``cache=True`` persists each shape's focus and value-node
+        frames (MEMORY_AND_DISK): every constraint of a shape branches
+        off the same VN join, and without caching each branch re-joins
+        focus × triples (ReusedExchange only dedupes identical
+        exchanges, not the per-branch aggregates above them).  Measured
+        ~5× on the KG metamodel at 600k triples."""
         self.spark = spark
         self.t = triples
         self.shapes = shapes
+        self.cache = cache
         self._closure: DataFrame | None = None
+        self._cached: list[DataFrame] = []
 
     # --- infrastructure ------------------------------------------------------
 
@@ -143,10 +157,31 @@ class Validator:
             return self._empty()
         return reduce(lambda a, b: a.unionByName(b), frames)
 
+    def cleanup(self) -> None:
+        """Unpersist cached focus/VN frames (call after materializing
+        the report)."""
+        for df in self._cached:
+            df.unpersist()
+        self._cached.clear()
+
     def evaluate(self, shape: Shape, nodes: DataFrame) -> DataFrame:
         """All validation results for ``shape`` against the focus-node frame."""
         if shape.deactivated:
             return self._empty()
+
+        n_constraints = sum(
+            1 for attr in (
+                shape.class_, shape.datatype, shape.node_kind, shape.min_count,
+                shape.max_count, shape.pattern, shape.in_, shape.node,
+                shape.not_, shape.and_, shape.or_, shape.xone, shape.equals,
+                shape.disjoint, shape.less_than, shape.less_than_or_equals,
+                shape.has_value, shape.min_length, shape.max_length,
+                shape.language_in,
+            ) if attr not in (None, (), False)
+        )
+        if self.cache and n_constraints + len(shape.property) > 1:
+            nodes = nodes.persist()
+            self._cached.append(nodes)
 
         path_desc = None
         if isinstance(shape, PropertyShape) and shape.path is not None:
@@ -154,6 +189,9 @@ class Validator:
             vn = eval_path(shape.path, nodes, self.t)
         else:
             vn = identity_vn(nodes)
+        if self.cache and n_constraints > 1:
+            vn = vn.persist()
+            self._cached.append(vn)
 
         frames: list[DataFrame] = []
         add = frames.append

@@ -54,6 +54,11 @@ def subclass_closure(triples: DataFrame) -> DataFrame:
     )
     reflexive = classes.select(F.col("c").alias("sub"), F.col("c").alias("sup"))
 
+    # no class hierarchy (the common KG case): closure = reflexive pairs,
+    # skip the fixpoint's eager checkpoint actions entirely
+    if sco.isEmpty():
+        return reflexive.localCheckpoint(eager=True)
+
     def step(frontier: DataFrame) -> DataFrame:
         # extend each known (sub, sup) by one edge sup -subClassOf-> sup2
         return frontier.alias("f").join(
