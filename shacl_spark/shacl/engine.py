@@ -164,8 +164,15 @@ class Validator:
             df.unpersist()
         self._cached.clear()
 
-    def evaluate(self, shape: Shape, nodes: DataFrame) -> DataFrame:
-        """All validation results for ``shape`` against the focus-node frame."""
+    def evaluate(
+        self, shape: Shape, nodes: DataFrame, vn_override: DataFrame | None = None
+    ) -> DataFrame:
+        """All validation results for ``shape`` against the focus-node frame.
+
+        ``vn_override`` lets a parent shape hand a child property shape
+        its already-computed value-node frame (the sibling-batched
+        multi-predicate join below) instead of re-joining triples.
+        """
         if shape.deactivated:
             return self._empty()
 
@@ -186,10 +193,10 @@ class Validator:
         path_desc = None
         if isinstance(shape, PropertyShape) and shape.path is not None:
             path_desc = shape.path.describe()
-            vn = eval_path(shape.path, nodes, self.t)
+            vn = vn_override if vn_override is not None else eval_path(shape.path, nodes, self.t)
         else:
             vn = identity_vn(nodes)
-        if self.cache and n_constraints > 1:
+        if self.cache and n_constraints > 1 and vn_override is None:
             vn = vn.persist()
             self._cached.append(vn)
 
@@ -391,9 +398,52 @@ class Validator:
             st(self._vn_semi(vn, bad).select("focus", "value"),
                "NodeConstraintComponent", f"value does not conform to {s}")
 
+        # nested property shapes: every value node becomes their focus.
+        # Children with a plain predicate path are batched into ONE
+        # multi-predicate join (pred IN (...)), split per child — k
+        # sibling property shapes cost 1 shuffle join instead of k.
+        simple_children: list[tuple[Shape, str]] = []
+        other_children: list[Shape] = []
         for ps_iri in shape.property:
-            # nested property shape: every value node becomes its focus
             child = self.shapes[ps_iri]
+            if (
+                isinstance(child, PropertyShape)
+                and isinstance(child.path, PredicatePath)
+                and not child.deactivated
+            ):
+                simple_children.append((child, child.path.iri))
+            else:
+                other_children.append(child)
+
+        if len(simple_children) > 1:
+            preds = sorted({p for _, p in simple_children})
+            multi = (
+                val_nodes.where(F.col("kind") == "iri")
+                .join(
+                    self.t.where(F.col("pred").isin(preds)),
+                    F.col("node") == F.col("subj"),
+                    "inner",
+                )
+                .select(
+                    F.col("node").alias("focus"),
+                    F.col("pred").alias("__pred"),
+                    F.col("obj").alias("value"),
+                    F.col("obj_kind").alias("kind"),
+                    F.col("obj_dt").alias("dt"),
+                    F.col("obj_lang").alias("lang"),
+                )
+                .dropDuplicates(["focus", "__pred", "value", "kind", "dt", "lang"])
+            )
+            if self.cache:
+                multi = multi.persist()
+                self._cached.append(multi)
+            for child, pred in simple_children:
+                child_vn = multi.where(F.col("__pred") == pred).drop("__pred")
+                frames.append(self.evaluate(child, val_nodes, vn_override=child_vn))
+        elif simple_children:
+            other_children.append(simple_children[0][0])
+
+        for child in other_children:
             frames.append(self.evaluate(child, val_nodes))
 
         if shape.qualified_value_shape is not None:
