@@ -11,4 +11,10 @@ from shacl_spark.shacl.shapes import (  # noqa: F401
     OneOrMorePath,
 )
 from shacl_spark.shacl.parser import parse_shapes_graph  # noqa: F401
-from shacl_spark.shacl.engine import validate, REPORT_SCHEMA  # noqa: F401
+from shacl_spark.shacl.engine import (  # noqa: F401
+    REPORT_SCHEMA,
+    Validator,
+    conforms,
+    summarize,
+    validate,
+)

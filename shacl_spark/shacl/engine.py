@@ -530,3 +530,17 @@ def validate(
         else parse_shapes_graph(shapes_rows_or_graph)
     )
     return Validator(spark, triples, shapes).validate()
+
+
+def conforms(report: DataFrame) -> bool:
+    """sh:conforms ⇔ the report frame is empty (SPEC §3.6)."""
+    return report.isEmpty()
+
+
+def summarize(report: DataFrame) -> DataFrame:
+    """Violation counts per (component, severity, source_shape)."""
+    return (
+        report.groupBy("component", "severity", "source_shape")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"))
+    )
