@@ -58,7 +58,7 @@ def entry(spark: SparkSession) -> DataFrame:
 
     corpus = synth_corpus(spark, 120, parts=8)
     triples = canonicalize(extract_triples(corpus, n_parts=64), threshold=0.75)
-    report = validate(spark, triples, KG_METAMODEL)
+    report = validate(spark, triples, KG_METAMODEL, assume_distinct=True)
 
     stats = text_stats(docs)
     summary = spark.createDataFrame(

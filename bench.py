@@ -85,9 +85,9 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
 
         cached = full.persist()
         cached.count()
-        validate(spark, cached, KG_METAMODEL).count()  # codegen/compile warmup
+        validate(spark, cached, KG_METAMODEL, assume_distinct=True).count()  # warmup
         t0 = time.time()
-        n_viol = validate(spark, cached, KG_METAMODEL).count()
+        n_viol = validate(spark, cached, KG_METAMODEL, assume_distinct=True).count()
         vdt = time.time() - t0
         cached.unpersist()
         out["validate_sec"] = round(vdt, 2)

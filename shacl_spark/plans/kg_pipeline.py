@@ -52,7 +52,8 @@ def build_kg(
     canonical = canonicalize(triples, threshold=link_threshold)
 
     report = (
-        validate(spark, canonical, shapes_rows)
+        # canonical triples are distinct by construction (A12 dedup)
+        validate(spark, canonical, shapes_rows, assume_distinct=True)
         if shapes_rows
         else spark.createDataFrame([], "focus string, component string")
     )

@@ -48,6 +48,11 @@ def get_spark(
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # coalesce post-shuffle partitions by SIZE, not default
+        # parallelism: multi-stage plans over modest inputs (validation)
+        # otherwise schedule full-width reduce stages per exchange; at
+        # scale partitions stay at the advisory size either way
+        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         # iterative fixpoint plans (localCheckpoint over union-derived

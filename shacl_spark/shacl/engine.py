@@ -80,15 +80,28 @@ class Validator:
         triples: DataFrame,
         shapes: ShapesGraph,
         cache: bool = True,
+        assume_distinct: bool = False,
     ):
         """``cache=True`` persists each shape's focus and value-node
         frames (MEMORY_AND_DISK): every constraint of a shape branches
         off the same VN join, and without caching each branch re-joins
         focus × triples (ReusedExchange only dedupes identical
         exchanges, not the per-branch aggregates above them).  Measured
-        ~5× on the KG metamodel at 600k triples."""
+        ~5× on the KG metamodel at 600k triples.
+
+        RDF graphs are SETS: duplicate input rows are one triple.  The
+        engine's path/count logic relies on a distinct triple frame, so
+        the input is normalized once here (one shuffle).  Callers whose
+        frame is distinct by construction (the KG pipeline dedups at
+        extraction/canonicalization) pass ``assume_distinct=True``."""
         self.spark = spark
-        self.t = triples
+        self.t = (
+            triples
+            if assume_distinct
+            else triples.dropDuplicates(
+                ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+            )
+        )
         self.shapes = shapes
         self.cache = cache
         self._closure: DataFrame | None = None
@@ -204,6 +217,14 @@ class Validator:
         add = frames.append
         st = lambda df, comp, msg: add(self._stamp(df, shape, comp, msg, path_desc))  # noqa: E731
 
+        # per-VALUE filter components are FUSED: each contributes a
+        # (component, fire-condition, message) triple; one projection
+        # emits the array of fired components per value node and one
+        # explode yields the violation rows — k filter components cost
+        # one stage instead of k (stage-scheduling overhead dominates
+        # these branches at any scale; the data math is identical)
+        value_checks: list[tuple[str, object, str]] = []
+
         # --- §4.1 value type --------------------------------------------------
         for c in shape.class_:
             inst = instances_of(self.t, self.closure, c)
@@ -215,18 +236,21 @@ class Validator:
                "ClassConstraintComponent", f"value is not a SHACL instance of {c}")
 
         if shape.datatype is not None:
-            bad = vn.where(
+            value_checks.append((
+                "DatatypeConstraintComponent",
                 (F.col("kind") != "literal")
                 | ~F.col("dt").eqNullSafe(F.lit(shape.datatype))
-                | C.ill_formed(F.col("value"), shape.datatype)
-            )
-            st(bad.select("focus", "value"),
-               "DatatypeConstraintComponent", f"value does not have datatype {shape.datatype}")
+                | C.ill_formed(F.col("value"), shape.datatype),
+                f"value does not have datatype {shape.datatype}",
+            ))
 
         if shape.node_kind is not None:
             allowed = C.NODE_KIND_SETS.get(shape.node_kind, ())
-            st(vn.where(~F.col("kind").isin(*allowed)).select("focus", "value"),
-               "NodeKindConstraintComponent", f"value is not of node kind {shape.node_kind}")
+            value_checks.append((
+                "NodeKindConstraintComponent",
+                ~F.col("kind").isin(*allowed),
+                f"value is not of node kind {shape.node_kind}",
+            ))
 
         # --- §4.2 cardinality --------------------------------------------------
         if shape.min_count is not None:
@@ -265,40 +289,44 @@ class Validator:
                 ok = C.sparql_lt(v, k, d, lv, lk, ld)
             else:
                 ok = C.sparql_lt(v, k, d, lv, lk, ld, or_equal=True)
-            st(vn.where(~F.coalesce(ok, F.lit(False))).select("focus", "value"),
-               comp, f"value out of range ({comp} {term.value})")
+            value_checks.append((
+                comp, ~F.coalesce(ok, F.lit(False)),
+                f"value out of range ({comp} {term.value})",
+            ))
 
         # --- §4.4 string based ---------------------------------------------------
         if shape.min_length is not None:
-            bad = vn.where(
-                (F.col("kind") == "bnode") | (F.length("value") < shape.min_length)
-            )
-            st(bad.select("focus", "value"),
-               "MinLengthConstraintComponent", f"length < {shape.min_length}")
+            value_checks.append((
+                "MinLengthConstraintComponent",
+                (F.col("kind") == "bnode") | (F.length("value") < shape.min_length),
+                f"length < {shape.min_length}",
+            ))
 
         if shape.max_length is not None:
-            bad = vn.where(
-                (F.col("kind") == "bnode") | (F.length("value") > shape.max_length)
-            )
-            st(bad.select("focus", "value"),
-               "MaxLengthConstraintComponent", f"length > {shape.max_length}")
+            value_checks.append((
+                "MaxLengthConstraintComponent",
+                (F.col("kind") == "bnode") | (F.length("value") > shape.max_length),
+                f"length > {shape.max_length}",
+            ))
 
         if shape.pattern is not None:
             rx = C.java_regex(shape.pattern, shape.flags)
-            bad = vn.where((F.col("kind") == "bnode") | ~F.col("value").rlike(rx))
-            st(bad.select("focus", "value"),
-               "PatternConstraintComponent", f"value does not match {shape.pattern}")
+            value_checks.append((
+                "PatternConstraintComponent",
+                (F.col("kind") == "bnode") | ~F.col("value").rlike(rx),
+                f"value does not match {shape.pattern}",
+            ))
 
         if shape.language_in:
             ok = reduce(
                 lambda a, b: a | b,
                 [C.lang_matches(F.col("lang"), t) for t in shape.language_in],
             )
-            bad = vn.where(
-                (F.col("kind") != "literal") | F.col("lang").isNull() | ~ok
-            )
-            st(bad.select("focus", "value"),
-               "LanguageInConstraintComponent", f"language not in {list(shape.language_in)}")
+            value_checks.append((
+                "LanguageInConstraintComponent",
+                (F.col("kind") != "literal") | F.col("lang").isNull() | ~ok,
+                f"language not in {list(shape.language_in)}",
+            ))
 
         if shape.unique_lang:
             dup = (
@@ -432,7 +460,7 @@ class Validator:
                     F.col("obj_dt").alias("dt"),
                     F.col("obj_lang").alias("lang"),
                 )
-                .dropDuplicates(["focus", "__pred", "value", "kind", "dt", "lang"])
+                # no dedup: distinct focus × distinct triples is distinct
             )
             if self.cache:
                 multi = multi.persist()
@@ -504,8 +532,40 @@ class Validator:
 
         if shape.in_ is not None:
             keys = [_tkey(t) for t in shape.in_]
-            st(vn.where(~_VKEY().isin(*keys)).select("focus", "value"),
-               "InConstraintComponent", "value not in sh:in list")
+            value_checks.append((
+                "InConstraintComponent", ~_VKEY().isin(*keys), "value not in sh:in list",
+            ))
+
+        if value_checks:
+            hits = F.array(
+                *[
+                    F.when(
+                        cond,
+                        F.struct(
+                            F.lit(SH + comp).alias("component"),
+                            F.lit(msg).alias("msg"),
+                        ),
+                    )
+                    for comp, cond, msg in value_checks
+                ]
+            )
+            fired = vn.select(
+                "focus",
+                "value",
+                F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("__v"),
+            )
+            msg_col = F.lit(shape.messages[0]) if shape.messages else F.col("__v.msg")
+            frames.append(
+                fired.select(
+                    F.col("focus"),
+                    F.lit(path_desc).cast("string").alias("path"),
+                    F.col("value"),
+                    F.col("__v.component").alias("component"),
+                    F.lit(shape.severity).alias("severity"),
+                    msg_col.alias("message"),
+                    F.lit(shape.iri).alias("source_shape"),
+                )
+            )
 
         if not frames:
             return self._empty()
@@ -520,7 +580,10 @@ class Validator:
 
 
 def validate(
-    spark: SparkSession, triples: DataFrame, shapes_rows_or_graph
+    spark: SparkSession,
+    triples: DataFrame,
+    shapes_rows_or_graph,
+    assume_distinct: bool = False,
 ) -> DataFrame:
     """Validate the data triples against a shapes graph (triple rows, a
     small DataFrame, or an already-parsed :class:`ShapesGraph`)."""
@@ -529,7 +592,7 @@ def validate(
         if isinstance(shapes_rows_or_graph, ShapesGraph)
         else parse_shapes_graph(shapes_rows_or_graph)
     )
-    return Validator(spark, triples, shapes).validate()
+    return Validator(spark, triples, shapes, assume_distinct=assume_distinct).validate()
 
 
 def conforms(report: DataFrame) -> bool:

@@ -141,8 +141,22 @@ def _chain(vn: DataFrame, nxt: Path, triples: DataFrame) -> DataFrame:
 
 
 def eval_path(path: Path, nodes: DataFrame, triples: DataFrame) -> DataFrame:
-    """Evaluate ``path`` from the node frame → deduped VN frame."""
+    """Evaluate ``path`` from the node frame → VN frame (a set).
+
+    INPUT CONTRACT: ``triples`` and ``nodes`` are distinct (RDF graphs
+    are sets; the pipeline guarantees it).  Under that contract a plain
+    predicate/inverse hop is automatically duplicate-free — its join
+    key pairs are unique — so the dedup exchange is only added for
+    composite paths (alternative/sequence/zeroOrOne merges; fixpoints
+    dedupe internally).  One shuffle saved per property shape.
+    """
     path = push_inverse(path)
+    if isinstance(path, PredicatePath) or (
+        isinstance(path, InversePath) and isinstance(path.inner, PredicatePath)
+    ):
+        return _eval(path, nodes, triples)
+    if isinstance(path, (ZeroOrMorePath, OneOrMorePath)):
+        return _eval(path, nodes, triples)  # fixpoint output is distinct
     return dedupe_vn(_eval(path, nodes, triples))
 
 

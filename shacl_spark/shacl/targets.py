@@ -114,16 +114,20 @@ def focus_nodes(
         )
     for p in shape.target_objects_of:
         frames.append(
-            triples.where(F.col("pred") == p).select(
+            triples.where(F.col("pred") == p)
+            .select(
                 F.col("obj").alias("node"),
                 F.col("obj_kind").alias("kind"),
                 F.col("obj_dt").alias("dt"),
                 F.col("obj_lang").alias("lang"),
             )
+            .dropDuplicates(["node", "kind", "dt", "lang"])
         )
 
     if not frames:
         return empty_nodes(spark)
+    if len(frames) == 1:
+        return frames[0]  # every constituent above is already distinct
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)
