@@ -1,0 +1,55 @@
+#!/usr/bin/env python
+"""spark-submit entry: validate a triples table against a shapes graph.
+
+    spark-submit --py-files shacl_spark.zip jobs/validate_graph.py \
+        --data   <parquet dir with the canonical triple schema> \
+        --shapes <csv/parquet of shapes triples> \
+        [--report <output parquet dir>]
+
+Prints a JSON summary line (conforms, violation counts by component);
+optionally writes the full report frame.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def _read_shapes_rows(spark, path: str):
+    if path.endswith(".csv"):
+        df = spark.read.option("header", True).csv(path)
+    else:
+        df = spark.read.parquet(path)
+    cols = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    present = [c for c in cols if c in df.columns]
+    return [tuple(r[c] for c in present) for r in df.collect()]
+
+
+def main(argv=None) -> int:
+    p = argparse.ArgumentParser()
+    p.add_argument("--data", required=True)
+    p.add_argument("--shapes", required=True)
+    p.add_argument("--report")
+    p.add_argument("--master", default=None)
+    args = p.parse_args(argv)
+
+    from shacl_spark.session import get_spark
+    from shacl_spark.shacl import summarize, validate
+
+    spark = get_spark("validate_graph", master=args.master)
+    triples = spark.read.parquet(args.data)
+    report = validate(spark, triples, _read_shapes_rows(spark, args.shapes))
+    by_comp = {
+        r["component"].split("#")[-1]: r["n"]
+        for r in summarize(report).collect()
+    }
+    if args.report:
+        report.write.mode("overwrite").parquet(args.report)
+    print(json.dumps({"conforms": not by_comp, "violations_by_component": by_comp}))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
