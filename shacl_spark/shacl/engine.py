@@ -106,6 +106,13 @@ class Validator:
         self.cache = cache
         self._closure: DataFrame | None = None
         self._cached: list[DataFrame] = []
+        # per-shape conformance memo: shape_iri → checkpointed
+        # DF[nkey, node, kind, dt, lang, bad].  Sound because every
+        # constraint is node-local (violations depend only on the focus
+        # node and the data graph, never on the rest of the focus set),
+        # so conformance computed for a node under one reference is
+        # valid under every other reference to the same shape.
+        self._conf_memo: dict[str, DataFrame] = {}
 
     # --- infrastructure ------------------------------------------------------
 
@@ -145,19 +152,58 @@ class Validator:
             F.lit(shape.iri).alias("source_shape"),
         )
 
+    def _conformance(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
+        """Memoized conformance: evaluate the shape only over nodes not
+        seen under a previous reference (delta evaluation); returns the
+        accumulated DF[nkey, node, kind, dt, lang, bad].
+
+        The memo is materialized with an eager localCheckpoint — the
+        delta evaluation runs as its own job, and later references read
+        the cached result instead of re-deriving the whole sub-plan.
+        Metamodel shapes reference the same node shape from several
+        places over largely-overlapping node sets, so the second and
+        later references cost one anti-join instead of a full shape
+        evaluation."""
+        nodes_k = nodes.withColumn("nkey", _NKEY())
+        memo = self._conf_memo.get(shape_iri)
+        new_nodes = (
+            nodes_k
+            if memo is None
+            else nodes_k.join(memo.select("nkey"), "nkey", "left_anti")
+        )
+        viol = self.evaluate(self.shapes[shape_iri], new_nodes.drop("nkey"))
+        bad_nodes = viol.select(F.col("focus").alias("node")).distinct().withColumn(
+            "__bad", F.lit(True)
+        )
+        entries = new_nodes.join(bad_nodes, "node", "left").select(
+            "nkey", "node", "kind", "dt", "lang",
+            F.coalesce(F.col("__bad"), F.lit(False)).alias("bad"),
+        )
+        if memo is not None:
+            entries = memo.unionByName(entries)
+        memo = entries.localCheckpoint(eager=True)
+        self._conf_memo[shape_iri] = memo
+        return memo
+
     def nonconforming(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
         """Node frame → the subset that does NOT conform to the shape.
         All results count for conformance regardless of severity."""
-        shape = self.shapes[shape_iri]
-        viol = self.evaluate(shape, nodes)
-        bad = viol.select(F.col("focus").alias("node")).distinct()
-        return nodes.join(bad, "node", "left_semi")
+        memo = self._conformance(shape_iri, nodes)
+        bad = memo.where(F.col("bad")).select("nkey")
+        return (
+            nodes.withColumn("nkey", _NKEY())
+            .join(bad, "nkey", "left_semi")
+            .drop("nkey")
+        )
 
     def conforming(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
-        shape = self.shapes[shape_iri]
-        viol = self.evaluate(shape, nodes)
-        bad = viol.select(F.col("focus").alias("node")).distinct()
-        return nodes.join(bad, "node", "left_anti")
+        memo = self._conformance(shape_iri, nodes)
+        bad = memo.where(F.col("bad")).select("nkey")
+        return (
+            nodes.withColumn("nkey", _NKEY())
+            .join(bad, "nkey", "left_anti")
+            .drop("nkey")
+        )
 
     # --- top level ------------------------------------------------------------
 
