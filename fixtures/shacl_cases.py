@@ -424,3 +424,64 @@ case("shaclshacl_broken",
       ("ex:BadProp", SH + "minCount", "two", "literal", XS + "string"),
       ("ex:MyShape", SH + "property", "missing", "literal", XS + "string")],
      METAMODEL_SHAPES)
+
+
+# ---- regression: full-term identity in conformance/count joins (r02) ---------
+# An IRI and a literal with the SAME lexical form are different terms;
+# conformance memos and cardinality joins must not conflate them
+# (ADVICE r01 medium: engine reported 2 violations vs the oracle's 1).
+
+case("term_identity_conformance",
+     [("ex:f", "ex:v", "http://ex/foo"),                       # IRI value
+      ("ex:f", "ex:v", "http://ex/foo", "literal", XS + "string")],  # same lexical form
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetSubjectsOf", "ex:v"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:v"), ("ex:SP", SH + "node", "ex:IriShape"),
+      ("ex:IriShape", T, SH + "NodeShape"),
+      ("ex:IriShape", SH + "nodeKind", SH + "IRI")])
+
+case("term_identity_mincount",
+     # focus nodes via targetObjectsOf: IRI ex:x (has a p-value) and
+     # literal "ex:x" (literals have no outgoing edges → must violate)
+     [("ex:a", "ex:ref", "ex:x"),
+      ("ex:a", "ex:ref", "ex:x", "literal", XS + "string"),
+      ("ex:x", "ex:p", "ex:y")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetObjectsOf", "ex:ref"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:p"),
+      ("ex:SP", SH + "minCount", "1", "literal", XS + "integer")])
+
+# ---- regression: conformance counts results of depth-2 property shapes -------
+# SPEC §2.1.1: a node conforms iff validation produces NO results —
+# including results whose own focus is a deeper value node.  ex:w's
+# p-value ex:u lacks ex:q, so ex:w does NOT conform to ex:A and the
+# sh:not is satisfied; ex:w2 (whose p-value has q) conforms → violation.
+
+case("nested_property_conformance_depth2",
+     [("ex:f", "ex:v", "ex:w"), ("ex:w", "ex:p", "ex:u"),
+      ("ex:f2", "ex:v", "ex:w2"), ("ex:w2", "ex:p", "ex:u2"),
+      ("ex:u2", "ex:q", "1", "literal", XS + "integer")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetSubjectsOf", "ex:v"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:v"), ("ex:SP", SH + "not", "ex:A"),
+      ("ex:A", T, SH + "NodeShape"),
+      ("ex:A", SH + "property", "ex:AP"),
+      ("ex:AP", SH + "path", "ex:p"),
+      ("ex:AP", SH + "property", "ex:APQ"),
+      ("ex:APQ", SH + "path", "ex:q"),
+      ("ex:APQ", SH + "minCount", "1", "literal", XS + "integer")])
+
+# ---- regression: unbounded xsd:integer beyond int64 (ADVICE r01) -------------
+
+case("bigint_integer_datatype",
+     [("ex:n", T, "ex:Num"),
+      ("ex:n", "ex:v", "18446744073709551616", "literal", XS + "integer"),
+      ("ex:m", T, "ex:Num"),
+      ("ex:m", "ex:v", "12.5", "literal", XS + "integer")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Num"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:v"),
+      ("ex:SP", SH + "datatype", XS + "integer")])

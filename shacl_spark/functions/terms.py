@@ -84,14 +84,18 @@ _SEP = "\x00"
 def triple_id(df_or_prefix: str = "") -> Column:
     """Deterministic content-addressed row identity.
 
-    sha256(subj \\x00 pred \\x00 obj \\x00 obj_dt \\x00 obj_lang), with
-    NULL dt/lang encoded as the empty string.  Uses only built-in
-    ``sha2``/``concat`` — reproducible by hashlib in the oracle.
+    sha256(subj \\x00 pred \\x00 obj \\x00 obj_kind \\x00 obj_dt \\x00
+    obj_lang), with NULL dt/lang encoded as the empty string.
+    obj_kind participates so an IRI object and a literal object with
+    the same lexical form are DISTINCT triples (ADVICE r01).  Uses only
+    built-in ``sha2``/``concat`` — reproducible by hashlib in the
+    oracle.
     """
     cols = [
         F.col("subj"),
         F.col("pred"),
         F.col("obj"),
+        F.col("obj_kind"),
         F.coalesce(F.col("obj_dt"), F.lit("")),
         F.coalesce(F.col("obj_lang"), F.lit("")),
     ]
@@ -120,6 +124,53 @@ def value_key() -> Column:
 def term_key(kind: str, value: str, dt: str | None = None, lang: str | None = None) -> str:
     """Driver-side mirror of :func:`value_key` for literal constants."""
     return "\x01".join([kind, value, dt or "", lang or ""])
+
+
+# --- unique node keys (focus/value-node identity) ----------------------------
+#
+# Node frames key each term by ONE string that is globally unique per
+# RDF term: IRIs keep their string form (so equi-joins against the
+# triples `subj` column stay plain string joins), while literals and
+# blank nodes are prefix-encoded with kind/dt/lang.  This makes every
+# string-keyed join in the engine (conformance memos, cardinality
+# count joins, hasValue anti-joins) exact on FULL term identity — an
+# IRI `http://ex/foo` and a literal "http://ex/foo" can no longer
+# conflate (SPEC §4.6/§4.7 conformance; ADVICE r01 medium).
+
+_ENC = "\x02"
+
+
+def node_key_col(kind: Column, value: Column, dt: Column, lang: Column) -> Column:
+    """Unique term-key string for a node: IRIs pass through, other
+    kinds get `\\x02kind\\x01dt\\x01lang\\x01value`."""
+    return F.when(kind == "iri", value).otherwise(
+        F.concat(
+            F.lit(_ENC),
+            kind,
+            F.lit("\x01"),
+            F.coalesce(dt, F.lit("")),
+            F.lit("\x01"),
+            F.coalesce(lang, F.lit("")),
+            F.lit("\x01"),
+            value,
+        )
+    )
+
+
+def node_val_col(node: Column) -> Column:
+    """Inverse of :func:`node_key_col` for the lexical form: the
+    4th `\\x01` field of an encoded key (limit-split keeps any later
+    separators inside the value), or the key itself for IRIs."""
+    return F.when(
+        node.startswith(_ENC), F.element_at(F.split(node, "\x01", 4), 4)
+    ).otherwise(node)
+
+
+def node_key(kind: str, value: str, dt: str | None = None, lang: str | None = None) -> str:
+    """Driver-side mirror of :func:`node_key_col`."""
+    if kind == "iri":
+        return value
+    return _ENC + kind + "\x01" + (dt or "") + "\x01" + (lang or "") + "\x01" + value
 
 
 # --- IRI minting (content-addressed, no blank nodes) ------------------------

@@ -84,7 +84,12 @@ def rewrite_triples(triples: DataFrame, comp_map: DataFrame) -> DataFrame:
             "part_id",
         )
     )
-    return rewritten.dropDuplicates(["subj", "pred", "obj", "obj_dt", "obj_lang"])
+    # obj_kind participates in triple identity: an IRI object and a
+    # literal object with the same lexical form are distinct triples
+    # (matches engine.py's input normalization; ADVICE r01)
+    return rewritten.dropDuplicates(
+        ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    )
 
 
 def canonicalize(triples: DataFrame, threshold: float = 0.75) -> DataFrame:

@@ -63,18 +63,23 @@ _INT_DTS = {
 
 
 def ill_formed(value: Column, dt: str) -> Column:
-    """True when the lexical form is invalid for the (known) datatype —
-    via try_cast, which returns NULL instead of raising (SPEC §4.1.2)."""
+    """True when the lexical form is invalid for the (known) datatype
+    (SPEC §4.1.2).
+
+    The xsd:integer family is checked by REGEX, not a long cast:
+    xsd:integer is unbounded, so valid literals outside int64 range
+    (e.g. 2^70) must still be accepted (ADVICE r01).  The lexical
+    checks here mirror tests/oracle.py `_ill_formed` exactly."""
     if dt in _INT_DTS:
-        return value.try_cast("long").isNull()
+        return ~value.rlike(r"^[+-]?\d+$")
     if dt in (XSD_DECIMAL, XSD_DOUBLE, XSD + "float"):
         return value.try_cast("double").isNull()
     if dt == XSD_BOOLEAN:
         return ~value.isin("true", "false", "0", "1")
     if dt == XSD_DATE:
-        return value.try_cast("date").isNull()
+        return ~value.rlike(r"^\d{4}-\d{2}-\d{2}$")
     if dt == XSD_DATETIME:
-        return value.try_cast("timestamp").isNull()
+        return ~value.rlike(r"^\d{4}-\d{2}-\d{2}[T ]")
     return F.lit(False)  # unknown datatype: lexical form accepted
 
 

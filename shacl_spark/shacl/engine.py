@@ -25,7 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from shacl_spark.functions.terms import SH
+from shacl_spark.functions.terms import SH, node_key_col, node_val_col
 from shacl_spark.shacl import components as C
 from shacl_spark.shacl.parser import parse_shapes_graph
 from shacl_spark.shacl.paths import (
@@ -59,14 +59,11 @@ def _VKEY():
     )
 
 
-def _NKEY():
-    return F.concat_ws(
-        "\x01",
-        F.col("kind"),
-        F.col("node"),
-        F.coalesce(F.col("dt"), F.lit("")),
-        F.coalesce(F.col("lang"), F.lit("")),
-    )
+def _vn_node_key():
+    """Unique term key of a VN row's VALUE term — matches the `node`
+    column of node frames (terms.node_key_col), so VN↔node-frame joins
+    are single-string equi-joins on full term identity."""
+    return node_key_col(F.col("kind"), F.col("value"), F.col("dt"), F.col("lang"))
 
 
 def _tkey(term) -> str:
@@ -107,7 +104,9 @@ class Validator:
         self._closure: DataFrame | None = None
         self._cached: list[DataFrame] = []
         # per-shape conformance memo: shape_iri → checkpointed
-        # DF[nkey, node, kind, dt, lang, bad].  Sound because every
+        # DF[node, kind, dt, lang, bad], keyed on the UNIQUE term key
+        # (terms.node_key_col) so terms with equal lexical form but
+        # different kind/dt/lang never conflate.  Sound because every
         # constraint is node-local (violations depend only on the focus
         # node and the data graph, never on the rest of the focus set),
         # so conformance computed for a node under one reference is
@@ -152,10 +151,57 @@ class Validator:
             F.lit(shape.iri).alias("source_shape"),
         )
 
+    def _bad_roots(
+        self, shape: Shape, nodes: DataFrame, vn_override: DataFrame | None = None
+    ) -> DataFrame:
+        """Subset of ``nodes`` producing ANY validation result in the
+        shape's subtree — the spec's conformance predicate (SPEC §2.1.1:
+        a node conforms iff validation produces NO results, including
+        results from nested property shapes whose own focus is a deeper
+        value node).  Direct results carry focus=root, but a property
+        shape nested under a property shape reports the intermediate
+        value node as focus, so those are mapped back to roots through
+        the value-node frame here (parity: tests/oracle.py `conforms`
+        extends nested eval_shape results into the root's result list).
+        """
+        if shape.deactivated:
+            return nodes.limit(0)
+        is_path_shape = isinstance(shape, PropertyShape) and shape.path is not None
+        if is_path_shape:
+            vn = (
+                vn_override
+                if vn_override is not None
+                else eval_path(shape.path, nodes, self.t)
+            )
+            if self.cache and shape.property and vn_override is None:
+                vn = vn.persist()
+                self._cached.append(vn)
+        else:
+            vn = identity_vn(nodes)
+        direct = self.evaluate(shape, nodes, vn_override=vn, recurse_properties=False)
+        bad = nodes.join(
+            direct.select(F.col("focus").alias("node")).distinct(), "node", "left_semi"
+        )
+        if not shape.property:
+            return bad
+        val_nodes = _values_as_nodes(vn)
+        vn_keyed = vn.select("focus", _vn_node_key().alias("vkey"))
+        for child, child_vn in self._child_plans(shape, val_nodes):
+            bad_vals = self._bad_roots(child, val_nodes, vn_override=child_vn)
+            bad_focus = (
+                vn_keyed.join(
+                    bad_vals.select(F.col("node").alias("vkey")), "vkey", "left_semi"
+                )
+                .select(F.col("focus").alias("node"))
+                .distinct()
+            )
+            bad = bad.unionByName(nodes.join(bad_focus, "node", "left_semi"))
+        return bad.dropDuplicates(["node"])
+
     def _conformance(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
         """Memoized conformance: evaluate the shape only over nodes not
         seen under a previous reference (delta evaluation); returns the
-        accumulated DF[nkey, node, kind, dt, lang, bad].
+        accumulated DF[node, kind, dt, lang, bad].
 
         The memo is materialized with an eager localCheckpoint — the
         delta evaluation runs as its own job, and later references read
@@ -164,19 +210,19 @@ class Validator:
         places over largely-overlapping node sets, so the second and
         later references cost one anti-join instead of a full shape
         evaluation."""
-        nodes_k = nodes.withColumn("nkey", _NKEY())
         memo = self._conf_memo.get(shape_iri)
         new_nodes = (
-            nodes_k
+            nodes
             if memo is None
-            else nodes_k.join(memo.select("nkey"), "nkey", "left_anti")
+            else nodes.join(memo.select("node"), "node", "left_anti")
         )
-        viol = self.evaluate(self.shapes[shape_iri], new_nodes.drop("nkey"))
-        bad_nodes = viol.select(F.col("focus").alias("node")).distinct().withColumn(
-            "__bad", F.lit(True)
+        bad_nodes = (
+            self._bad_roots(self.shapes[shape_iri], new_nodes)
+            .select("node")
+            .withColumn("__bad", F.lit(True))
         )
         entries = new_nodes.join(bad_nodes, "node", "left").select(
-            "nkey", "node", "kind", "dt", "lang",
+            "node", "kind", "dt", "lang",
             F.coalesce(F.col("__bad"), F.lit(False)).alias("bad"),
         )
         if memo is not None:
@@ -189,21 +235,13 @@ class Validator:
         """Node frame → the subset that does NOT conform to the shape.
         All results count for conformance regardless of severity."""
         memo = self._conformance(shape_iri, nodes)
-        bad = memo.where(F.col("bad")).select("nkey")
-        return (
-            nodes.withColumn("nkey", _NKEY())
-            .join(bad, "nkey", "left_semi")
-            .drop("nkey")
-        )
+        bad = memo.where(F.col("bad")).select("node")
+        return nodes.join(bad, "node", "left_semi")
 
     def conforming(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
         memo = self._conformance(shape_iri, nodes)
-        bad = memo.where(F.col("bad")).select("nkey")
-        return (
-            nodes.withColumn("nkey", _NKEY())
-            .join(bad, "nkey", "left_anti")
-            .drop("nkey")
-        )
+        bad = memo.where(F.col("bad")).select("node")
+        return nodes.join(bad, "node", "left_anti")
 
     # --- top level ------------------------------------------------------------
 
@@ -214,7 +252,10 @@ class Validator:
             frames.append(self.evaluate(shape, nodes))
         if not frames:
             return self._empty()
-        return reduce(lambda a, b: a.unionByName(b), frames)
+        report = reduce(lambda a, b: a.unionByName(b), frames)
+        # node frames carry ENCODED term keys; report rows expose the
+        # lexical form (a literal focus node decodes back to its value)
+        return report.withColumn("focus", node_val_col(F.col("focus")))
 
     def cleanup(self) -> None:
         """Unpersist cached focus/VN frames (call after materializing
@@ -224,13 +265,24 @@ class Validator:
         self._cached.clear()
 
     def evaluate(
-        self, shape: Shape, nodes: DataFrame, vn_override: DataFrame | None = None
+        self,
+        shape: Shape,
+        nodes: DataFrame,
+        vn_override: DataFrame | None = None,
+        recurse_properties: bool = True,
     ) -> DataFrame:
         """All validation results for ``shape`` against the focus-node frame.
+
+        ``nodes.node`` is the unique term KEY (terms.node_key_col);
+        emitted focus strings are keys too — ``validate`` decodes them
+        once at the end.
 
         ``vn_override`` lets a parent shape hand a child property shape
         its already-computed value-node frame (the sibling-batched
         multi-predicate join below) instead of re-joining triples.
+        ``recurse_properties=False`` evaluates only this shape's own
+        constraints (used by ``_bad_roots``, which attributes child
+        results to roots itself).
         """
         if shape.deactivated:
             return self._empty()
@@ -450,19 +502,14 @@ class Validator:
                 conf_counts = conf if conf_counts is None else conf_counts.unionByName(conf)
             if conf_counts is None:
                 continue
-            # key on the normalized term key — dt/lang are nullable and
-            # NULL join keys never match under plain equality
+            # `node` is the unique term key — grouping on it is exact
             exactly_one = (
-                conf_counts.groupBy(_NKEY().alias("nkey"))
+                conf_counts.groupBy("node")
                 .agg(F.sum("one").alias("n"))
                 .where(F.col("n") == 1)
-                .select("nkey")
+                .select("node")
             )
-            not_one = (
-                val_nodes.withColumn("nkey", _NKEY())
-                .join(exactly_one, "nkey", "left_anti")
-                .drop("nkey")
-            )
+            not_one = val_nodes.join(exactly_one, "node", "left_anti")
             st(self._vn_semi(vn, not_one).select("focus", "value"),
                "XoneConstraintComponent", "value conforms to != 1 members of sh:xone")
 
@@ -472,66 +519,18 @@ class Validator:
             st(self._vn_semi(vn, bad).select("focus", "value"),
                "NodeConstraintComponent", f"value does not conform to {s}")
 
-        # nested property shapes: every value node becomes their focus.
-        # Children with a plain predicate path are batched into ONE
-        # multi-predicate join (pred IN (...)), split per child — k
-        # sibling property shapes cost 1 shuffle join instead of k.
-        simple_children: list[tuple[Shape, str]] = []
-        other_children: list[Shape] = []
-        for ps_iri in shape.property:
-            child = self.shapes[ps_iri]
-            if (
-                isinstance(child, PropertyShape)
-                and isinstance(child.path, PredicatePath)
-                and not child.deactivated
-            ):
-                simple_children.append((child, child.path.iri))
-            else:
-                other_children.append(child)
-
-        if len(simple_children) > 1:
-            preds = sorted({p for _, p in simple_children})
-            multi = (
-                val_nodes.where(F.col("kind") == "iri")
-                .join(
-                    self.t.where(F.col("pred").isin(preds)),
-                    F.col("node") == F.col("subj"),
-                    "inner",
-                )
-                .select(
-                    F.col("node").alias("focus"),
-                    F.col("pred").alias("__pred"),
-                    F.col("obj").alias("value"),
-                    F.col("obj_kind").alias("kind"),
-                    F.col("obj_dt").alias("dt"),
-                    F.col("obj_lang").alias("lang"),
-                )
-                # no dedup: distinct focus × distinct triples is distinct
-            )
-            if self.cache:
-                multi = multi.persist()
-                self._cached.append(multi)
-            for child, pred in simple_children:
-                child_vn = multi.where(F.col("__pred") == pred).drop("__pred")
+        # nested property shapes: every value node becomes their focus
+        # (batched multi-predicate join — see _child_plans)
+        if recurse_properties:
+            for child, child_vn in self._child_plans(shape, val_nodes):
                 frames.append(self.evaluate(child, val_nodes, vn_override=child_vn))
-        elif simple_children:
-            other_children.append(simple_children[0][0])
-
-        for child in other_children:
-            frames.append(self.evaluate(child, val_nodes))
 
         if shape.qualified_value_shape is not None:
             conf = self.conforming(shape.qualified_value_shape, val_nodes)
             if shape.qualified_disjoint:
                 for sib in self.shapes.sibling_qualified(shape.iri):
-                    sib_keys = self.conforming(sib, val_nodes).select(
-                        _NKEY().alias("nkey")
-                    )
-                    conf = (
-                        conf.withColumn("nkey", _NKEY())
-                        .join(sib_keys, "nkey", "left_anti")
-                        .drop("nkey")
-                    )
+                    sib_keys = self.conforming(sib, val_nodes).select("node")
+                    conf = conf.join(sib_keys, "node", "left_anti")
             conf_vn = self._vn_semi(vn, conf)
             counts = conf_vn.groupBy("focus").agg(F.count("*").alias("n"))
             if shape.qualified_min_count is not None:
@@ -619,10 +618,64 @@ class Validator:
 
     # --- helpers ---------------------------------------------------------------
 
+    def _child_plans(
+        self, shape: Shape, val_nodes: DataFrame
+    ) -> list[tuple[Shape, DataFrame | None]]:
+        """(child shape, precomputed VN | None) for each nested property
+        shape.  Children with a plain predicate path are batched into
+        ONE multi-predicate join (pred IN (...)), split per child — k
+        sibling property shapes cost 1 shuffle join instead of k."""
+        simple_children: list[tuple[Shape, str]] = []
+        other_children: list[Shape] = []
+        for ps_iri in shape.property:
+            child = self.shapes[ps_iri]
+            if (
+                isinstance(child, PropertyShape)
+                and isinstance(child.path, PredicatePath)
+                and not child.deactivated
+            ):
+                simple_children.append((child, child.path.iri))
+            else:
+                other_children.append(child)
+
+        plans: list[tuple[Shape, DataFrame | None]] = []
+        if len(simple_children) > 1:
+            preds = sorted({p for _, p in simple_children})
+            multi = (
+                val_nodes.where(F.col("kind") == "iri")
+                .join(
+                    self.t.where(F.col("pred").isin(preds)),
+                    F.col("node") == F.col("subj"),
+                    "inner",
+                )
+                .select(
+                    F.col("node").alias("focus"),
+                    F.col("pred").alias("__pred"),
+                    F.col("obj").alias("value"),
+                    F.col("obj_kind").alias("kind"),
+                    F.col("obj_dt").alias("dt"),
+                    F.col("obj_lang").alias("lang"),
+                )
+                # no dedup: distinct focus × distinct triples is distinct
+            )
+            if self.cache:
+                multi = multi.persist()
+                self._cached.append(multi)
+            for child, pred in simple_children:
+                plans.append((child, multi.where(F.col("__pred") == pred).drop("__pred")))
+        elif simple_children:
+            other_children.append(simple_children[0][0])
+        plans.extend((child, None) for child in other_children)
+        return plans
+
     def _vn_semi(self, vn: DataFrame, nodes: DataFrame) -> DataFrame:
         """VN rows whose value term is in the node frame (term equality)."""
-        keyed = nodes.select(_NKEY().alias("vkey"))
-        return vn.withColumn("vkey", _VKEY()).join(keyed, "vkey", "left_semi").drop("vkey")
+        keyed = nodes.select(F.col("node").alias("vkey"))
+        return (
+            vn.withColumn("vkey", _vn_node_key())
+            .join(keyed, "vkey", "left_semi")
+            .drop("vkey")
+        )
 
 
 def validate(

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from shacl_spark.functions.terms import node_key_col, node_val_col
 from shacl_spark.operators.fixpoint import iterate_to_fixpoint
 from shacl_spark.shacl.shapes import (
     AlternativePath,
@@ -51,10 +52,13 @@ def dedupe_vn(vn: DataFrame) -> DataFrame:
 
 
 def identity_vn(nodes: DataFrame) -> DataFrame:
-    """Zero-step path: each node is its own value."""
+    """Zero-step path: each node is its own value.
+
+    ``node`` is the unique term KEY (terms.node_key_col); the VN
+    ``value`` column is the lexical form, so it is decoded here."""
     return nodes.select(
         F.col("node").alias("focus"),
-        F.col("node").alias("value"),
+        node_val_col(F.col("node")).alias("value"),
         "kind",
         "dt",
         "lang",
@@ -100,10 +104,8 @@ def _hop(nodes: DataFrame, triples: DataFrame, pred_iri: str, inverse: bool) -> 
         )
     hits = nodes.join(
         t,
-        (nodes["node"] == t["obj"])
-        & (nodes["kind"] == t["obj_kind"])
-        & (F.coalesce(nodes["dt"], F.lit("")) == F.coalesce(t["obj_dt"], F.lit("")))
-        & (F.coalesce(nodes["lang"], F.lit("")) == F.coalesce(t["obj_lang"], F.lit(""))),
+        nodes["node"]
+        == node_key_col(t["obj_kind"], t["obj"], t["obj_dt"], t["obj_lang"]),
         "inner",
     )
     return hits.select(
@@ -116,9 +118,17 @@ def _hop(nodes: DataFrame, triples: DataFrame, pred_iri: str, inverse: bool) -> 
 
 
 def _values_as_nodes(vn: DataFrame) -> DataFrame:
+    """VN values → node frame; ``node`` becomes the unique term key so
+    one dropDuplicates column suffices and every downstream string
+    join is exact on term identity."""
     return vn.select(
-        F.col("value").alias("node"), "kind", "dt", "lang"
-    ).dropDuplicates(["node", "kind", "dt", "lang"])
+        node_key_col(F.col("kind"), F.col("value"), F.col("dt"), F.col("lang")).alias(
+            "node"
+        ),
+        "kind",
+        "dt",
+        "lang",
+    ).dropDuplicates(["node"])
 
 
 def _chain(vn: DataFrame, nxt: Path, triples: DataFrame) -> DataFrame:

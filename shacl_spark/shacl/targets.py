@@ -12,7 +12,12 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from shacl_spark.functions.terms import RDF_TYPE, RDFS_SUBCLASSOF
+from shacl_spark.functions.terms import (
+    RDF_TYPE,
+    RDFS_SUBCLASSOF,
+    node_key,
+    node_key_col,
+)
 from shacl_spark.operators.fixpoint import iterate_to_fixpoint
 from shacl_spark.shacl.shapes import Shape, Term
 
@@ -31,7 +36,7 @@ def empty_nodes(spark: SparkSession) -> DataFrame:
 
 
 def nodes_from_terms(spark: SparkSession, terms) -> DataFrame:
-    rows = [(t.value, t.kind, t.dt, t.lang) for t in terms]
+    rows = [(node_key(t.kind, t.value, t.dt, t.lang), t.kind, t.dt, t.lang) for t in terms]
     return spark.createDataFrame(rows, NODE_SCHEMA)
 
 
@@ -116,12 +121,14 @@ def focus_nodes(
         frames.append(
             triples.where(F.col("pred") == p)
             .select(
-                F.col("obj").alias("node"),
+                node_key_col(
+                    F.col("obj_kind"), F.col("obj"), F.col("obj_dt"), F.col("obj_lang")
+                ).alias("node"),
                 F.col("obj_kind").alias("kind"),
                 F.col("obj_dt").alias("dt"),
                 F.col("obj_lang").alias("lang"),
             )
-            .dropDuplicates(["node", "kind", "dt", "lang"])
+            .dropDuplicates(["node"])
         )
 
     if not frames:
