@@ -78,3 +78,50 @@ def test_fixture_export(tmp_path, monkeypatch):
     sample = tmp_path / "fixtures" / "mincount_missing"
     assert (sample / "data.csv").exists()
     assert (sample / "expected_report.csv").exists()
+
+
+def test_upsert_untouched_partitions_not_rewritten(spark, tmp_path):
+    """The partitioned merge is O(touched): a batch that lands in one
+    hash partition leaves every other partition's files byte-identical
+    (VERDICT r01 #8)."""
+    import hashlib
+
+    from shacl_spark.functions.terms import TRIPLE_SCHEMA
+    from shacl_spark.streaming.upsert import TripleUpsertSink
+
+    target = str(tmp_path / "target")
+    sink = TripleUpsertSink(spark, target, n_parts=8)
+
+    def rows(ids):
+        return [
+            (f"ex:s{i}", "ex:p", f"v{i}", "literal", None, None, None, None, None, None)
+            for i in ids
+        ]
+
+    sink._merge_batch(spark.createDataFrame(rows(range(64)), TRIPLE_SCHEMA), 0)
+
+    def file_hashes():
+        out = {}
+        for root, _dirs, files in os.walk(target):
+            for f in files:
+                if f.endswith(".parquet"):
+                    p = os.path.join(root, f)
+                    out[p] = hashlib.sha256(open(p, "rb").read()).hexdigest()
+        return out
+
+    before = file_hashes()
+    assert len({os.path.dirname(p) for p in before}) == 8  # all partitions hit
+
+    # one new row -> exactly one partition touched
+    sink._merge_batch(spark.createDataFrame(rows([1000]), TRIPLE_SCHEMA), 1)
+    after = file_hashes()
+    new_files = set(after) - set(before)
+    touched_dirs = {os.path.dirname(p) for p in new_files}
+    assert len(touched_dirs) == 1
+    for p, h in before.items():
+        assert after[p] == h, f"untouched file rewritten: {p}"
+    assert sink.current().count() == 65
+
+    # idempotent replay of the same batch: nothing appended
+    sink._merge_batch(spark.createDataFrame(rows([1000]), TRIPLE_SCHEMA), 1)
+    assert sink.current(dedup=False).count() == 65
