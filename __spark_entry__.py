@@ -1004,9 +1004,17 @@ def kg_extract_documents(spark, sf_dir):
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(_QUERIES)
+    from shacl_spark.shacl.driver_queries import SHACL_QUERIES
+
+    out = dict(_QUERIES)
+    out.update(SHACL_QUERIES)
+    return out
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-equivalent SQL for each SQL-expressible query."""
-    return dict(_ORACLES)
+    from shacl_spark.shacl.driver_queries import SHACL_ORACLES
+
+    out = dict(_ORACLES)
+    out.update(SHACL_ORACLES)
+    return out

@@ -1,0 +1,525 @@
+"""Driver-visible SHACL queries: every core constraint-component
+family gets a `queries()` entry that runs the REAL engine
+(shacl_spark.shacl.validate) over the committed deterministic fixture
+(fixtures/shacl_triples.parquet) and a hand-written DuckDB `oracle_sql`
+that recomputes the same violation set relationally — so the driver's
+independent correctness gate exercises the SHACL layer itself
+(VERDICT r01 "Next round" #1).
+
+Both sides read the SAME parquet; result columns are
+(focus, path, value, component), all strings (value NULL for
+focus-level components), hash-compared order-insensitively.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shacl_spark.functions.terms import RDF, RDFS, SH, XSD
+
+FIXTURE = os.path.join(
+    os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__)))),
+    "fixtures",
+    "shacl_triples.parquet",
+)
+
+T = RDF + "type"
+SCO = RDFS + "subClassOf"
+STR = XSD + "string"
+INT = XSD + "integer"
+FIRST, REST, NIL = RDF + "first", RDF + "rest", RDF + "nil"
+
+# --- SQL building blocks -----------------------------------------------------
+
+_TSRC = f"SELECT * FROM read_parquet('{FIXTURE}')"
+
+
+def _closure_cte(root: str) -> str:
+    """Recursive subclass closure + SHACL instances of ``root``."""
+    return f"""
+t AS ({_TSRC}),
+sub AS (SELECT '{root}' AS c
+        UNION
+        SELECT t.subj FROM t, sub WHERE t.pred = '{SCO}' AND t.obj = sub.c),
+inst AS (SELECT DISTINCT subj FROM t
+         WHERE pred = '{T}' AND obj IN (SELECT c FROM sub))"""
+
+
+def _focus_class(root: str) -> str:
+    """CTE list selecting focus = instances of root (with closure)."""
+    return _closure_cte(root) + ",\nfocus AS (SELECT subj AS f FROM inst)"
+
+
+def _res(path_sql: str, value_sql: str, comp: str) -> str:
+    return (
+        f"{path_sql} AS path, {value_sql} AS value, '{SH}{comp}' AS component"
+    )
+
+
+# --- registry ----------------------------------------------------------------
+
+SHACL_QUERIES: dict = {}
+SHACL_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, shapes: list, sql: str):
+    def fn(spark: SparkSession, sf_dir: str, _shapes=shapes) -> DataFrame:
+        from shacl_spark.shacl import validate
+
+        triples = spark.read.parquet(FIXTURE)
+        rep = validate(spark, triples, _shapes)
+        return rep.select("focus", "path", "value", "component")
+
+    fn.__name__ = name
+    SHACL_QUERIES[name] = fn
+    SHACL_ORACLES[name] = sql
+
+
+def _rdf_list(prefix: str, terms) -> list[tuple]:
+    rows = []
+    n = len(terms)
+    for i, term in enumerate(terms):
+        node = f"{prefix}/{i}"
+        if isinstance(term, str):
+            rows.append((node, FIRST, term))
+        else:
+            rows.append((node, FIRST, term[0], term[1], term[2]))
+        rows.append((node, REST, f"{prefix}/{i+1}" if i + 1 < n else NIL))
+    return rows
+
+
+def _ps(shape_iri: str, target: tuple[str, str], path: str, *params) -> list[tuple]:
+    """Node shape with one property shape; params are (pred, obj, kind, dt)."""
+    ns, ps = shape_iri, shape_iri + "P"
+    rows = [
+        (ns, T, SH + "NodeShape"),
+        (ns, SH + target[0], target[1]),
+        (ns, SH + "property", ps),
+        (ps, SH + "path", path),
+    ]
+    for p in params:
+        rows.append((ps,) + p)
+    return rows
+
+
+# === B: cardinality ===========================================================
+
+_q(
+    "shacl_mincount",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:name",
+        (SH + "minCount", "1", "literal", INT)),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vals AS (SELECT subj, count(*) AS n FROM t WHERE pred = 'ex:name' GROUP BY subj)
+SELECT f.f AS focus, {_res("'ex:name'", "CAST(NULL AS VARCHAR)", "MinCountConstraintComponent")}
+FROM focus f LEFT JOIN vals v ON v.subj = f.f
+WHERE coalesce(v.n, 0) < 1""",
+)
+
+_q(
+    "shacl_maxcount",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:email",
+        (SH + "maxCount", "2", "literal", INT)),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vals AS (SELECT subj, count(*) AS n FROM t WHERE pred = 'ex:email' GROUP BY subj)
+SELECT f.f AS focus, {_res("'ex:email'", "CAST(NULL AS VARCHAR)", "MaxCountConstraintComponent")}
+FROM focus f JOIN vals v ON v.subj = f.f
+WHERE v.n > 2""",
+)
+
+# === B: value type ============================================================
+
+_q(
+    "shacl_class_closure",
+    _ps("ex:S", ("targetClass", "ex:Employee"), "ex:knows",
+        (SH + "class", "ex:Person")),
+    f"""WITH RECURSIVE {_closure_cte("ex:Person")},
+esub AS (SELECT 'ex:Employee' AS c
+         UNION
+         SELECT t.subj FROM t, esub WHERE t.pred = '{SCO}' AND t.obj = esub.c),
+focus AS (SELECT DISTINCT subj AS f FROM t
+          WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
+vn AS (SELECT f.f, t.obj, t.obj_kind FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:knows')
+SELECT f AS focus, {_res("'ex:knows'", "obj", "ClassConstraintComponent")}
+FROM vn WHERE obj_kind <> 'iri' OR obj NOT IN (SELECT subj FROM inst)""",
+)
+
+_q(
+    "shacl_datatype",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:age",
+        (SH + "datatype", INT)),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:age')
+SELECT f AS focus, {_res("'ex:age'", "obj", "DatatypeConstraintComponent")}
+FROM vn WHERE NOT (obj_kind = 'literal' AND obj_dt = '{INT}'
+                   AND regexp_full_match(obj, '[+-]?[0-9]+'))""",
+)
+
+_q(
+    "shacl_nodekind",
+    _ps("ex:S", ("targetSubjectsOf", "ex:knows"), "ex:knows",
+        (SH + "nodeKind", SH + "IRI")),
+    f"""WITH t AS ({_TSRC}),
+focus AS (SELECT DISTINCT subj AS f FROM t WHERE pred = 'ex:knows'),
+vn AS (SELECT f.f, t.obj, t.obj_kind FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:knows')
+SELECT f AS focus, {_res("'ex:knows'", "obj", "NodeKindConstraintComponent")}
+FROM vn WHERE obj_kind <> 'iri'""",
+)
+
+# === B: value range ===========================================================
+
+_NUM = (
+    f"CASE WHEN obj_kind = 'literal' AND (obj_dt IS NULL OR obj_dt IN "
+    f"('{INT}','{XSD}decimal','{XSD}double','{XSD}float','{XSD}long','{XSD}int')) "
+    f"THEN TRY_CAST(obj AS DOUBLE) END"
+)
+
+_q(
+    "shacl_range",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:age",
+        (SH + "minInclusive", "18", "literal", INT),
+        (SH + "maxInclusive", "65", "literal", INT)),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt, {_NUM} AS num FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:age')
+SELECT f AS focus, {_res("'ex:age'", "obj", "MinInclusiveConstraintComponent")}
+FROM vn WHERE NOT coalesce(num >= 18, false)
+UNION ALL
+SELECT f AS focus, {_res("'ex:age'", "obj", "MaxInclusiveConstraintComponent")}
+FROM vn WHERE NOT coalesce(num <= 65, false)""",
+)
+
+# === B: string facets =========================================================
+
+_q(
+    "shacl_string_facets",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:email",
+        (SH + "minLength", "13", "literal", INT),
+        (SH + "maxLength", "30", "literal", INT),
+        (SH + "pattern", "^[^@]+@[^@]+$", "literal", STR)),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:email')
+SELECT f AS focus, {_res("'ex:email'", "obj", "MinLengthConstraintComponent")}
+FROM vn WHERE obj_kind = 'bnode' OR length(obj) < 13
+UNION ALL
+SELECT f AS focus, {_res("'ex:email'", "obj", "MaxLengthConstraintComponent")}
+FROM vn WHERE obj_kind = 'bnode' OR length(obj) > 30
+UNION ALL
+SELECT f AS focus, {_res("'ex:email'", "obj", "PatternConstraintComponent")}
+FROM vn WHERE obj_kind = 'bnode' OR NOT regexp_matches(obj, '^[^@]+@[^@]+$')""",
+)
+
+_q(
+    "shacl_language",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:label",
+        (SH + "uniqueLang", "true", "literal", XSD + "boolean"))
+    + _ps("ex:S2", ("targetClass", "ex:Person"), "ex:label",
+          (SH + "languageIn", "ex:langs/0"))
+    + _rdf_list("ex:langs", [("en", "literal", None)]),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_lang FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:label')
+SELECT f AS focus, {_res("'ex:label'", "CAST(NULL AS VARCHAR)", "UniqueLangConstraintComponent")}
+FROM (SELECT f FROM vn WHERE obj_lang IS NOT NULL
+      GROUP BY f, lower(obj_lang) HAVING count(*) > 1)
+GROUP BY f
+UNION ALL
+SELECT f AS focus, {_res("'ex:label'", "obj", "LanguageInConstraintComponent")}
+FROM vn WHERE obj_kind <> 'literal' OR obj_lang IS NULL
+            OR NOT (lower(obj_lang) = 'en' OR lower(obj_lang) LIKE 'en-%')""",
+)
+
+# === B: in / hasValue =========================================================
+
+_q(
+    "shacl_in_hasvalue",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:dept",
+        (SH + "in", "ex:depts/0"))
+    + _rdf_list("ex:depts", [("eng", "literal", STR), ("sales", "literal", STR),
+                             ("hr", "literal", STR)])
+    + _ps("ex:S2", ("targetClass", "ex:Employee"), "ex:dept",
+          (SH + "hasValue", "eng", "literal", STR)),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+esub AS (SELECT 'ex:Employee' AS c
+         UNION
+         SELECT t.subj FROM t, esub WHERE t.pred = '{SCO}' AND t.obj = esub.c),
+efocus AS (SELECT DISTINCT subj AS f FROM t
+           WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:dept')
+SELECT f AS focus, {_res("'ex:dept'", "obj", "InConstraintComponent")}
+FROM vn WHERE NOT (obj_kind = 'literal' AND obj_dt = '{STR}'
+                   AND obj IN ('eng', 'sales', 'hr'))
+UNION ALL
+SELECT e.f AS focus, {_res("'ex:dept'", "CAST(NULL AS VARCHAR)", "HasValueConstraintComponent")}
+FROM efocus e WHERE NOT EXISTS (
+  SELECT 1 FROM t WHERE t.subj = e.f AND t.pred = 'ex:dept'
+    AND t.obj = 'eng' AND t.obj_kind = 'literal' AND t.obj_dt = '{STR}')""",
+)
+
+# === B: property pairs ========================================================
+
+_q(
+    "shacl_equals_disjoint",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:nick",
+        (SH + "equals", "ex:name"))
+    + _ps("ex:S2", ("targetClass", "ex:Person"), "ex:email",
+          (SH + "disjoint", "ex:backup")),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+nick AS (SELECT f.f, t.obj FROM focus f JOIN t ON t.subj = f.f AND t.pred = 'ex:nick'),
+nm   AS (SELECT f.f, t.obj FROM focus f JOIN t ON t.subj = f.f AND t.pred = 'ex:name'),
+em   AS (SELECT f.f, t.obj FROM focus f JOIN t ON t.subj = f.f AND t.pred = 'ex:email'),
+bk   AS (SELECT f.f, t.obj FROM focus f JOIN t ON t.subj = f.f AND t.pred = 'ex:backup')
+SELECT f AS focus, {_res("'ex:nick'", "obj", "EqualsConstraintComponent")}
+FROM nick n WHERE NOT EXISTS (SELECT 1 FROM nm m WHERE m.f = n.f AND m.obj = n.obj)
+UNION ALL
+SELECT f AS focus, {_res("'ex:nick'", "obj", "EqualsConstraintComponent")}
+FROM nm m WHERE NOT EXISTS (SELECT 1 FROM nick n WHERE n.f = m.f AND n.obj = m.obj)
+UNION ALL
+SELECT f AS focus, {_res("'ex:email'", "obj", "DisjointConstraintComponent")}
+FROM em e WHERE EXISTS (SELECT 1 FROM bk b WHERE b.f = e.f AND b.obj = e.obj)""",
+)
+
+_q(
+    "shacl_lessthan",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:start",
+        (SH + "lessThan", "ex:end")),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+st AS (SELECT f.f, t.obj, {_NUM} AS num FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:start'),
+en AS (SELECT f.f, {_NUM} AS num FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:end')
+SELECT DISTINCT s.f AS focus, {_res("'ex:start'", "s.obj", "LessThanConstraintComponent")}
+FROM st s JOIN en e ON e.f = s.f
+WHERE NOT coalesce(s.num < e.num, false)""",
+)
+
+# === B: closed ================================================================
+
+_q(
+    "shacl_closed",
+    [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Org"),
+        ("ex:S", SH + "closed", "true", "literal", XSD + "boolean"),
+        ("ex:S", SH + "ignoredProperties", "ex:ign/0"),
+    ]
+    + _rdf_list("ex:ign", [T]),
+    f"""WITH t AS ({_TSRC}),
+focus AS (SELECT DISTINCT subj AS f FROM t WHERE pred = '{T}' AND obj = 'ex:Org')
+SELECT f.f AS focus, t.pred AS path, t.obj AS value,
+       '{SH}ClosedConstraintComponent' AS component
+FROM focus f JOIN t ON t.subj = f.f AND t.pred <> '{T}'""",
+)
+
+# === B: logical (or / not) ====================================================
+
+_INT_SHAPE = [
+    ("ex:IntShape", T, SH + "NodeShape"),
+    ("ex:IntShape", SH + "datatype", INT),
+]
+_IRI_SHAPE = [
+    ("ex:IriShape", T, SH + "NodeShape"),
+    ("ex:IriShape", SH + "nodeKind", SH + "IRI"),
+]
+
+_CONF_INT = f"(obj_kind = 'literal' AND obj_dt = '{INT}' AND regexp_full_match(obj, '[+-]?[0-9]+'))"
+
+_q(
+    "shacl_logical_or_not",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:age",
+        (SH + "or", "ex:orl/0"))
+    + _rdf_list("ex:orl", ["ex:IntShape", "ex:IriShape"])
+    + _INT_SHAPE + _IRI_SHAPE
+    + _ps("ex:S2", ("targetClass", "ex:Person"), "ex:dept",
+          (SH + "not", "ex:UnknownShape"))
+    + [
+        ("ex:UnknownShape", T, SH + "NodeShape"),
+        ("ex:UnknownShape", SH + "hasValue", "unknown", "literal", STR),
+    ],
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:age'),
+dept AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt FROM focus f
+         JOIN t ON t.subj = f.f AND t.pred = 'ex:dept')
+SELECT f AS focus, {_res("'ex:age'", "obj", "OrConstraintComponent")}
+FROM vn WHERE NOT ({_CONF_INT} OR obj_kind = 'iri')
+UNION ALL
+SELECT f AS focus, {_res("'ex:dept'", "obj", "NotConstraintComponent")}
+FROM dept WHERE obj_kind = 'literal' AND obj_dt = '{STR}' AND obj = 'unknown'""",
+)
+
+_q(
+    "shacl_xone",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:age",
+        (SH + "xone", "ex:xl/0"))
+    + _rdf_list("ex:xl", ["ex:IntShape", "ex:ShortShape"])
+    + _INT_SHAPE
+    + [
+        ("ex:ShortShape", T, SH + "NodeShape"),
+        ("ex:ShortShape", SH + "maxLength", "2", "literal", INT),
+    ],
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:age')
+SELECT f AS focus, {_res("'ex:age'", "obj", "XoneConstraintComponent")}
+FROM vn
+WHERE (CASE WHEN {_CONF_INT} THEN 1 ELSE 0 END
+     + CASE WHEN obj_kind <> 'bnode' AND length(obj) <= 2 THEN 1 ELSE 0 END) <> 1""",
+)
+
+# === B: shape-based (sh:node with nested property shape) =====================
+
+_q(
+    "shacl_node_ref",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:worksFor",
+        (SH + "node", "ex:OrgShape"))
+    + [
+        ("ex:OrgShape", T, SH + "NodeShape"),
+        ("ex:OrgShape", SH + "class", "ex:Org"),
+        ("ex:OrgShape", SH + "property", "ex:OrgCity"),
+        ("ex:OrgCity", SH + "path", "ex:locatedIn"),
+        ("ex:OrgCity", SH + "minCount", "1", "literal", INT),
+    ],
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:worksFor')
+SELECT f AS focus, {_res("'ex:worksFor'", "obj", "NodeConstraintComponent")}
+FROM vn WHERE NOT (
+  obj_kind = 'iri'
+  AND EXISTS (SELECT 1 FROM t WHERE t.subj = vn.obj AND t.pred = '{T}' AND t.obj = 'ex:Org')
+  AND EXISTS (SELECT 1 FROM t WHERE t.subj = vn.obj AND t.pred = 'ex:locatedIn'))""",
+)
+
+# === B: qualified value shape =================================================
+
+_q(
+    "shacl_qualified_min",
+    _ps("ex:S", ("targetClass", "ex:Employee"), "ex:knows",
+        (SH + "qualifiedValueShape", "ex:PersonShape"),
+        (SH + "qualifiedMinCount", "1", "literal", INT))
+    + [
+        ("ex:PersonShape", T, SH + "NodeShape"),
+        ("ex:PersonShape", SH + "class", "ex:Person"),
+    ],
+    f"""WITH RECURSIVE {_closure_cte("ex:Person")},
+esub AS (SELECT 'ex:Employee' AS c
+         UNION
+         SELECT t.subj FROM t, esub WHERE t.pred = '{SCO}' AND t.obj = esub.c),
+focus AS (SELECT DISTINCT subj AS f FROM t
+          WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
+ok AS (SELECT f.f, count(*) AS n FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:knows'
+            AND t.obj_kind = 'iri' AND t.obj IN (SELECT subj FROM inst)
+       GROUP BY f.f)
+SELECT f.f AS focus, {_res("'ex:knows'", "CAST(NULL AS VARCHAR)", "QualifiedMinCountConstraintComponent")}
+FROM focus f LEFT JOIN ok o ON o.f = f.f
+WHERE coalesce(o.n, 0) < 1""",
+)
+
+# === D: property paths ========================================================
+
+_q(
+    "shacl_path_sequence",
+    [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Person"),
+        ("ex:S", SH + "property", "ex:SP"),
+        ("ex:SP", SH + "path", "ex:seq/0"),
+        ("ex:SP", SH + "minCount", "1", "literal", INT),
+    ]
+    + _rdf_list("ex:seq", ["ex:worksFor", "ex:locatedIn"]),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vals AS (SELECT w.subj, count(*) AS n FROM t w
+         JOIN t l ON l.subj = w.obj AND l.pred = 'ex:locatedIn'
+         WHERE w.pred = 'ex:worksFor' GROUP BY w.subj)
+SELECT f.f AS focus, {_res("'ex:worksFor/ex:locatedIn'", "CAST(NULL AS VARCHAR)", "MinCountConstraintComponent")}
+FROM focus f LEFT JOIN vals v ON v.subj = f.f
+WHERE coalesce(v.n, 0) < 1""",
+)
+
+_q(
+    "shacl_path_inverse_alt",
+    [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Employee"),
+        ("ex:S", SH + "property", "ex:SP"),
+        ("ex:SP", SH + "path", "ex:alt"),
+        ("ex:alt", SH + "alternativePath", "ex:altl/0"),
+        ("ex:SP", SH + "minCount", "2", "literal", INT),
+    ]
+    + _rdf_list("ex:altl", ["ex:inv", "ex:reportsTo"])
+    + [("ex:inv", SH + "inversePath", "ex:managerOf")],
+    f"""WITH RECURSIVE
+t AS ({_TSRC}),
+esub AS (SELECT 'ex:Employee' AS c
+         UNION
+         SELECT t.subj FROM t, esub WHERE t.pred = '{SCO}' AND t.obj = esub.c),
+focus AS (SELECT DISTINCT subj AS f FROM t
+          WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
+vals AS (
+  SELECT f.f, t.subj AS v FROM focus f
+  JOIN t ON t.pred = 'ex:managerOf' AND t.obj = f.f AND t.obj_kind = 'iri'
+  UNION
+  SELECT f.f, t.obj AS v FROM focus f
+  JOIN t ON t.subj = f.f AND t.pred = 'ex:reportsTo'),
+cnt AS (SELECT f, count(*) AS n FROM vals GROUP BY f)
+SELECT f.f AS focus, {_res("'^ex:managerOf|ex:reportsTo'", "CAST(NULL AS VARCHAR)", "MinCountConstraintComponent")}
+FROM focus f LEFT JOIN cnt c ON c.f = f.f
+WHERE coalesce(c.n, 0) < 2""",
+)
+
+_q(
+    "shacl_path_zeroormore",
+    [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Employee"),
+        ("ex:S", SH + "property", "ex:SP"),
+        ("ex:SP", SH + "path", "ex:star"),
+        ("ex:star", SH + "zeroOrMorePath", "ex:reportsTo"),
+        ("ex:SP", SH + "class", "ex:Agent"),
+    ],
+    f"""WITH RECURSIVE {_closure_cte("ex:Agent")},
+esub AS (SELECT 'ex:Employee' AS c
+         UNION
+         SELECT t.subj FROM t, esub WHERE t.pred = '{SCO}' AND t.obj = esub.c),
+focus AS (SELECT DISTINCT subj AS f FROM t
+          WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
+chain AS (
+  SELECT f AS f, f AS v FROM focus
+  UNION
+  SELECT c.f, t.obj FROM chain c
+  JOIN t ON t.subj = c.v AND t.pred = 'ex:reportsTo'),
+viol AS (SELECT DISTINCT f, v FROM chain
+         WHERE v NOT IN (SELECT subj FROM inst))
+SELECT f AS focus, {_res("'(ex:reportsTo)*'", "v", "ClassConstraintComponent")}
+FROM viol""",
+)
+
+# === C: targets ===============================================================
+
+_q(
+    "shacl_targets_combined",
+    [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetNode", "ex:p0"),
+        ("ex:S", SH + "targetObjectsOf", "ex:worksFor"),
+        ("ex:S", SH + "targetSubjectsOf", "ex:locatedIn"),
+        ("ex:S", SH + "class", "ex:Org"),
+    ],
+    f"""WITH RECURSIVE {_closure_cte("ex:Org")},
+focus AS (
+  SELECT 'ex:p0' AS f
+  UNION
+  SELECT DISTINCT obj FROM t WHERE pred = 'ex:worksFor' AND obj_kind = 'iri'
+  UNION
+  SELECT DISTINCT subj FROM t WHERE pred = 'ex:locatedIn')
+SELECT f AS focus, {_res("CAST(NULL AS VARCHAR)", "f", "ClassConstraintComponent")}
+FROM focus WHERE f NOT IN (SELECT subj FROM inst)""",
+)
