@@ -32,7 +32,10 @@ MEDIA_SCHEMA = T.StructType(
 FEATURE_SCHEMA = T.StructType(
     [
         T.StructField("media_id", T.LongType(), False),
-        T.StructField("feature", T.ArrayType(T.FloatType()), False),
+        # double (not float32) so the deterministic stub kernel is
+        # bit-reproducible by the DuckDB oracle; a real embedding
+        # kernel would use float32 here
+        T.StructField("feature", T.ArrayType(T.DoubleType()), False),
         T.StructField("n_bytes", T.LongType(), False),
     ]
 )
@@ -77,12 +80,17 @@ def decode_image(payload: bytes) -> object:
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
     """Deterministic stand-in for an embedding/feature extractor:
-    byte-histogram moments.  Replaces decode_image+model.forward."""
-    acc = [0.0] * dim
+    byte-histogram moments.  Replaces decode_image+model.forward.
+
+    Buckets accumulate EXACT integer byte sums and normalize once in
+    double, in the same operation order the DuckDB oracle uses
+    (SUM / 255.0 / n * dim) — bit-identical pre-round, so round(…, 6)
+    agrees on both sides (no representable exact-half cases exist)."""
+    acc = [0] * dim
     for j, b in enumerate(payload):
-        acc[j % dim] += b / 255.0
+        acc[j % dim] += b
     n = max(len(payload), 1)
-    return [round(x / n * dim, 6) for x in acc]
+    return [round(x / 255.0 / n * dim, 6) for x in acc]
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
