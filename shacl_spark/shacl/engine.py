@@ -166,6 +166,17 @@ class Validator:
         """
         if shape.deactivated:
             return nodes.limit(0)
+        # FAST PATH: when every result in the subtree provably carries
+        # focus=root (no depth>=2 property nesting), conformance is just
+        # the distinct focus set of ONE full evaluation — no per-child
+        # re-evaluation or value-frame mapping joins
+        if self._results_carry_root_focus(shape):
+            viol = self.evaluate(shape, nodes, vn_override=vn_override)
+            return nodes.join(
+                viol.select(F.col("focus").alias("node")).distinct(),
+                "node",
+                "left_semi",
+            )
         is_path_shape = isinstance(shape, PropertyShape) and shape.path is not None
         if is_path_shape:
             vn = (
@@ -186,7 +197,7 @@ class Validator:
             return bad
         val_nodes = _values_as_nodes(vn)
         vn_keyed = vn.select("focus", _vn_node_key().alias("vkey"))
-        for child, child_vn in self._child_plans(shape, val_nodes):
+        for child, child_vn, _child_counts in self._child_plans(shape, val_nodes):
             bad_vals = self._bad_roots(child, val_nodes, vn_override=child_vn)
             bad_focus = (
                 vn_keyed.join(
@@ -197,6 +208,16 @@ class Validator:
             )
             bad = bad.unionByName(nodes.join(bad_focus, "node", "left_semi"))
         return bad.dropDuplicates(["node"])
+
+    def _results_carry_root_focus(self, shape: Shape) -> bool:
+        """True when every validation result of the shape's subtree has
+        the root node as focus: constraints of the shape itself always
+        do; property children evaluated over the root's VALUE nodes do
+        only when the shape is a node shape (identity values) — and
+        their own children never do."""
+        if isinstance(shape, PropertyShape) and shape.path is not None:
+            return not shape.property
+        return all(not self.shapes[i].property for i in shape.property)
 
     def _conformance(self, shape_iri: str, nodes: DataFrame) -> DataFrame:
         """Memoized conformance: evaluate the shape only over nodes not
@@ -216,6 +237,12 @@ class Validator:
             if memo is None
             else nodes.join(memo.select("node"), "node", "left_anti")
         )
+        if memo is not None and new_nodes.isEmpty():
+            # common case for seeded memos (the referencing shape's
+            # value nodes ARE the referenced shape's targets): one cheap
+            # probe job replaces a full near-empty delta evaluation
+            # (~15 stages whose big sides still scan the triple frame)
+            return memo
         bad_nodes = (
             self._bad_roots(self.shapes[shape_iri], new_nodes)
             .select("node")
@@ -227,7 +254,12 @@ class Validator:
         )
         if memo is not None:
             entries = memo.unionByName(entries)
-        memo = entries.localCheckpoint(eager=True)
+        # LAZY checkpoint: truncates lineage and caches on first use,
+        # but schedules no job at plan-build time — the delta evaluation
+        # executes as part of whichever consumer job runs first, so
+        # validation is one DAG instead of one blocking job per shape
+        # reference (r01 bench: plan-build dominated wall time 2-4x)
+        memo = entries.localCheckpoint(eager=False)
         self._conf_memo[shape_iri] = memo
         return memo
 
@@ -247,9 +279,37 @@ class Validator:
 
     def validate(self) -> DataFrame:
         frames = []
-        for shape in self.shapes.entry_shapes():
+        # entry shapes whose evaluation can SEED their conformance memo
+        # go first, so a later shape referencing them (sh:node on a
+        # shape that is also a target) reuses the evaluation instead of
+        # re-deriving it over the same nodes (delta evaluation then
+        # costs one anti-join over an almost-empty remainder)
+        entries = sorted(
+            self.shapes.entry_shapes(),
+            key=lambda s: not self._results_carry_root_focus(s),
+        )
+        for shape in entries:
             nodes = focus_nodes(self.spark, shape, self.t, self.closure)
-            frames.append(self.evaluate(shape, nodes))
+            rep = self.evaluate(shape, nodes)
+            seed = (
+                shape.iri not in self._conf_memo
+                and self._results_carry_root_focus(shape)
+            )
+            if seed:
+                # lazy checkpoint: the report branch and the memo join
+                # both read ONE cached materialization of these rows
+                rep = rep.localCheckpoint(eager=False)
+                bad = (
+                    rep.select(F.col("focus").alias("node"))
+                    .distinct()
+                    .withColumn("__bad", F.lit(True))
+                )
+                memo = nodes.join(bad, "node", "left").select(
+                    "node", "kind", "dt", "lang",
+                    F.coalesce(F.col("__bad"), F.lit(False)).alias("bad"),
+                )
+                self._conf_memo[shape.iri] = memo.localCheckpoint(eager=False)
+            frames.append(rep)
         if not frames:
             return self._empty()
         report = reduce(lambda a, b: a.unionByName(b), frames)
@@ -270,6 +330,7 @@ class Validator:
         nodes: DataFrame,
         vn_override: DataFrame | None = None,
         recurse_properties: bool = True,
+        counts_override: DataFrame | None = None,
     ) -> DataFrame:
         """All validation results for ``shape`` against the focus-node frame.
 
@@ -351,8 +412,15 @@ class Validator:
             ))
 
         # --- §4.2 cardinality --------------------------------------------------
+        # counts_override (sibling-fused groupBy from _child_plans)
+        # replaces the per-shape aggregation when provided
+        if shape.min_count is not None or shape.max_count is not None:
+            counts = (
+                counts_override
+                if counts_override is not None
+                else vn.groupBy("focus").agg(F.count("*").alias("n"))
+            )
         if shape.min_count is not None:
-            counts = vn.groupBy("focus").agg(F.count("*").alias("n"))
             bad = (
                 nodes.join(counts, nodes["node"] == counts["focus"], "left")
                 .where(F.coalesce(F.col("n"), F.lit(0)) < shape.min_count)
@@ -361,11 +429,7 @@ class Validator:
             st(bad, "MinCountConstraintComponent", f"fewer than {shape.min_count} values")
 
         if shape.max_count is not None:
-            bad = (
-                vn.groupBy("focus").agg(F.count("*").alias("n"))
-                .where(F.col("n") > shape.max_count)
-                .select("focus")
-            )
+            bad = counts.where(F.col("n") > shape.max_count).select("focus")
             st(bad, "MaxCountConstraintComponent", f"more than {shape.max_count} values")
 
         # --- §4.3 value range --------------------------------------------------
@@ -522,8 +586,15 @@ class Validator:
         # nested property shapes: every value node becomes their focus
         # (batched multi-predicate join — see _child_plans)
         if recurse_properties:
-            for child, child_vn in self._child_plans(shape, val_nodes):
-                frames.append(self.evaluate(child, val_nodes, vn_override=child_vn))
+            for child, child_vn, child_counts in self._child_plans(shape, val_nodes):
+                frames.append(
+                    self.evaluate(
+                        child,
+                        val_nodes,
+                        vn_override=child_vn,
+                        counts_override=child_counts,
+                    )
+                )
 
         if shape.qualified_value_shape is not None:
             conf = self.conforming(shape.qualified_value_shape, val_nodes)
@@ -620,11 +691,14 @@ class Validator:
 
     def _child_plans(
         self, shape: Shape, val_nodes: DataFrame
-    ) -> list[tuple[Shape, DataFrame | None]]:
-        """(child shape, precomputed VN | None) for each nested property
-        shape.  Children with a plain predicate path are batched into
-        ONE multi-predicate join (pred IN (...)), split per child — k
-        sibling property shapes cost 1 shuffle join instead of k."""
+    ) -> list[tuple[Shape, DataFrame | None, DataFrame | None]]:
+        """(child shape, precomputed VN | None, precomputed per-focus
+        counts | None) for each nested property shape.  Children with a
+        plain predicate path are batched into ONE multi-predicate join
+        (pred IN (...)), split per child — k sibling property shapes
+        cost 1 shuffle join instead of k — and their cardinality counts
+        come from ONE groupBy(focus, pred) instead of one groupBy per
+        child."""
         simple_children: list[tuple[Shape, str]] = []
         other_children: list[Shape] = []
         for ps_iri in shape.property:
@@ -661,11 +735,30 @@ class Validator:
             if self.cache:
                 multi = multi.persist()
                 self._cached.append(multi)
+            needs_counts = any(
+                c.min_count is not None
+                or c.max_count is not None
+                for c, _ in simple_children
+            )
+            counts_all = None
+            if needs_counts:
+                counts_all = multi.groupBy("focus", "__pred").agg(
+                    F.count("*").alias("n")
+                )
+                if self.cache:
+                    counts_all = counts_all.persist()
+                    self._cached.append(counts_all)
             for child, pred in simple_children:
-                plans.append((child, multi.where(F.col("__pred") == pred).drop("__pred")))
+                child_vn = multi.where(F.col("__pred") == pred).drop("__pred")
+                child_counts = (
+                    counts_all.where(F.col("__pred") == pred).drop("__pred")
+                    if counts_all is not None
+                    else None
+                )
+                plans.append((child, child_vn, child_counts))
         elif simple_children:
             other_children.append(simple_children[0][0])
-        plans.extend((child, None) for child in other_children)
+        plans.extend((child, None, None) for child in other_children)
         return plans
 
     def _vn_semi(self, vn: DataFrame, nodes: DataFrame) -> DataFrame:

@@ -60,9 +60,10 @@ def subclass_closure(triples: DataFrame) -> DataFrame:
     reflexive = classes.select(F.col("c").alias("sub"), F.col("c").alias("sup"))
 
     # no class hierarchy (the common KG case): closure = reflexive pairs,
-    # skip the fixpoint's eager checkpoint actions entirely
+    # skip the fixpoint's eager checkpoint actions entirely (lazy
+    # checkpoint: computed inside the first consumer job, then cached)
     if sco.isEmpty():
-        return reflexive.localCheckpoint(eager=True)
+        return reflexive.localCheckpoint(eager=False)
 
     def step(frontier: DataFrame) -> DataFrame:
         # extend each known (sub, sup) by one edge sup -subClassOf-> sup2
@@ -102,8 +103,23 @@ def focus_nodes(
     classes = list(shape.target_classes)
     if shape.implicit_class_target:
         classes.append(shape.iri)
-    for c in classes:
-        frames.append(instances_of(triples, closure, c))
+    if classes:
+        # one type-scan + one broadcast join for ALL target classes
+        # (a shape with k targetClass declarations would otherwise scan
+        # the rdf:type slice k times and dedup k frames)
+        subtypes = closure.where(F.col("sup").isin(classes)).select("sub").distinct()
+        frames.append(
+            triples.where(F.col("pred") == RDF_TYPE)
+            .join(F.broadcast(subtypes), F.col("obj") == F.col("sub"), "inner")
+            .select(F.col("subj").alias("node"))
+            .distinct()
+            .select(
+                "node",
+                F.lit("iri").alias("kind"),
+                F.lit(None).cast("string").alias("dt"),
+                F.lit(None).cast("string").alias("lang"),
+            )
+        )
 
     for p in shape.target_subjects_of:
         frames.append(
