@@ -18,6 +18,10 @@ import sys
 
 
 def _read_shapes_rows(spark, path: str):
+    if path.endswith(".ttl") or path.endswith(".turtle"):
+        from shacl_spark.shacl.turtle import parse_turtle_file
+
+        return parse_turtle_file(path)
     if path.endswith(".csv"):
         df = spark.read.option("header", True).csv(path)
     else:
@@ -32,6 +36,7 @@ def main(argv=None) -> int:
     p.add_argument("--data", required=True)
     p.add_argument("--shapes", required=True)
     p.add_argument("--report")
+    p.add_argument("--report-triples", dest="report_triples")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -39,7 +44,13 @@ def main(argv=None) -> int:
     from shacl_spark.shacl import summarize, validate
 
     spark = get_spark("validate_graph", master=args.master)
-    triples = spark.read.parquet(args.data)
+    if args.data.endswith(".ttl") or args.data.endswith(".turtle"):
+        from shacl_spark.functions.terms import triples_from_rows
+        from shacl_spark.shacl.turtle import parse_turtle_file
+
+        triples = triples_from_rows(spark, parse_turtle_file(args.data))
+    else:
+        triples = spark.read.parquet(args.data)
     report = validate(spark, triples, _read_shapes_rows(spark, args.shapes))
     by_comp = {
         r["component"].split("#")[-1]: r["n"]
@@ -47,6 +58,10 @@ def main(argv=None) -> int:
     }
     if args.report:
         report.write.mode("overwrite").parquet(args.report)
+    if args.report_triples:
+        from shacl_spark.shacl.report import report_to_triples
+
+        report_to_triples(report).write.mode("overwrite").parquet(args.report_triples)
     print(json.dumps({"conforms": not by_comp, "violations_by_component": by_comp}))
     return 0
 

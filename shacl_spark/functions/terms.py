@@ -166,6 +166,26 @@ def node_val_col(node: Column) -> Column:
     ).otherwise(node)
 
 
+def node_kind_col(node: Column) -> Column:
+    """Term kind recovered from a node key: the encoded prefix field,
+    else bnode/iri by the `_:` label convention."""
+    return (
+        F.when(node.startswith(_ENC), F.element_at(F.split(node, "\x01", 4), 1).substr(2, 100))
+        .when(node.startswith("_:"), F.lit("bnode"))
+        .otherwise(F.lit("iri"))
+    )
+
+
+def node_dt_col(node: Column) -> Column:
+    f = F.element_at(F.split(node, "\x01", 4), 2)
+    return F.when(node.startswith(_ENC) & (f != ""), f)
+
+
+def node_lang_col(node: Column) -> Column:
+    f = F.element_at(F.split(node, "\x01", 4), 3)
+    return F.when(node.startswith(_ENC) & (f != ""), f)
+
+
 def node_key(kind: str, value: str, dt: str | None = None, lang: str | None = None) -> str:
     """Driver-side mirror of :func:`node_key_col`."""
     if kind == "iri":

@@ -523,3 +523,74 @@ focus AS (
 SELECT f AS focus, {_res("CAST(NULL AS VARCHAR)", "f", "ClassConstraintComponent")}
 FROM focus WHERE f NOT IN (SELECT subj FROM inst)""",
 )
+
+# === report serialization (SPEC §3.6) =========================================
+
+_MC_FOCUS_SQL = f"""
+t AS ({_TSRC}),
+sub AS (SELECT 'ex:Person' AS c
+        UNION
+        SELECT t.subj FROM t, sub WHERE t.pred = '{SCO}' AND t.obj = sub.c),
+inst AS (SELECT DISTINCT subj FROM t
+         WHERE pred = '{T}' AND obj IN (SELECT c FROM sub)),
+vals AS (SELECT subj, count(*) AS n FROM t WHERE pred = 'ex:name' GROUP BY subj),
+bad AS (SELECT i.subj AS focus FROM inst i LEFT JOIN vals v ON v.subj = i.subj
+        WHERE coalesce(v.n, 0) < 1)"""
+
+# rid = content hash over the 13 report columns, NULLs encoded as \x01
+_RID_SQL = (
+    "'urn:shacl:result/' || substr(sha256("
+    "focus || chr(0) || 'iri' || chr(0) || chr(1) || chr(0) || chr(1) || chr(0) || "
+    "'ex:name' || chr(0) || chr(1) || chr(0) || chr(1) || chr(0) || chr(1) || chr(0) || chr(1) || chr(0) || "
+    f"'{SH}MinCountConstraintComponent' || chr(0) || '{SH}Violation' || chr(0) || "
+    "'fewer than 1 values' || chr(0) || 'ex:SP'), 1, 32)"
+)
+
+
+def _report_query(spark: SparkSession, sf_dir: str) -> "DataFrame":
+    """Serialize the shacl_mincount report to sh:ValidationReport
+    triples via the real engine + report_to_triples."""
+    from shacl_spark.shacl import validate
+    from shacl_spark.shacl.report import report_to_triples
+
+    shapes = _ps(
+        "ex:S", ("targetClass", "ex:Person"), "ex:name",
+        (SH + "minCount", "1", "literal", INT),
+    )
+    triples = spark.read.parquet(FIXTURE)
+    rep = validate(spark, triples, shapes)
+    return report_to_triples(rep).select(
+        "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"
+    )
+
+
+_report_query.__name__ = "shacl_report_triples"
+SHACL_QUERIES["shacl_report_triples"] = _report_query
+SHACL_ORACLES["shacl_report_triples"] = f"""WITH RECURSIVE {_MC_FOCUS_SQL},
+rids AS (SELECT focus, {_RID_SQL} AS rid FROM bad),
+v AS (SELECT CAST(NULL AS VARCHAR) AS x)
+SELECT 'urn:shacl:report' AS subj, '{RDF}type' AS pred,
+       '{SH}ValidationReport' AS obj, 'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang
+UNION ALL
+SELECT 'urn:shacl:report', '{SH}conforms',
+       CASE WHEN (SELECT count(*) FROM bad) = 0 THEN 'true' ELSE 'false' END,
+       'literal', '{XSD}boolean', NULL
+UNION ALL
+SELECT 'urn:shacl:report', '{SH}result', rid, 'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{RDF}type', '{SH}ValidationResult', 'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{SH}focusNode', focus, 'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{SH}resultPath', 'ex:name', 'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{SH}sourceConstraintComponent', '{SH}MinCountConstraintComponent',
+       'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{SH}resultSeverity', '{SH}Violation', 'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{SH}sourceShape', 'ex:SP', 'iri', NULL, NULL FROM rids
+UNION ALL
+SELECT rid, '{SH}resultMessage', 'fewer than 1 values', 'literal',
+       '{XSD}string', NULL FROM rids"""

@@ -42,6 +42,9 @@ REPORT_SCHEMA = T.StructType(
         T.StructField("focus", T.StringType(), False),
         T.StructField("path", T.StringType(), True),
         T.StructField("value", T.StringType(), True),
+        T.StructField("value_kind", T.StringType(), True),
+        T.StructField("value_dt", T.StringType(), True),
+        T.StructField("value_lang", T.StringType(), True),
         T.StructField("component", T.StringType(), False),
         T.StructField("severity", T.StringType(), False),
         T.StructField("message", T.StringType(), True),
@@ -132,9 +135,15 @@ class Validator:
         default_msg: str,
         path_desc: str | None,
     ) -> DataFrame:
-        """Normalize a builder's (focus[,value][,rpath]) frame into report rows."""
+        """Normalize a builder's (focus[,value[,kind,dt,lang]][,rpath])
+        frame into report rows; value-term metadata passes through when
+        the builder kept it (SPEC §3.6 sh:value is a TERM)."""
         cols = set(df.columns)
         value = F.col("value") if "value" in cols else F.lit(None).cast("string")
+        null_s = F.lit(None).cast("string")
+        vkind = F.col("kind") if "kind" in cols else null_s
+        vdt = F.col("dt") if "dt" in cols else null_s
+        vlang = F.col("lang") if "lang" in cols else null_s
         rpath = (
             F.col("rpath")
             if "rpath" in cols
@@ -145,6 +154,9 @@ class Validator:
             F.col("focus").alias("focus"),
             rpath.alias("path"),
             value.alias("value"),
+            vkind.alias("value_kind"),
+            vdt.alias("value_dt"),
+            vlang.alias("value_lang"),
             F.lit(SH + component).alias("component"),
             F.lit(shape.severity).alias("severity"),
             F.lit(msg).alias("message"),
@@ -314,8 +326,30 @@ class Validator:
             return self._empty()
         report = reduce(lambda a, b: a.unionByName(b), frames)
         # node frames carry ENCODED term keys; report rows expose the
-        # lexical form (a literal focus node decodes back to its value)
-        return report.withColumn("focus", node_val_col(F.col("focus")))
+        # lexical form plus the recovered term metadata (sh:focusNode
+        # is a TERM — report_to_triples needs kind/dt/lang)
+        key = F.col("focus")
+        from shacl_spark.functions.terms import (
+            node_dt_col,
+            node_kind_col,
+            node_lang_col,
+        )
+
+        return report.select(
+            node_val_col(key).alias("focus"),
+            node_kind_col(key).alias("focus_kind"),
+            node_dt_col(key).alias("focus_dt"),
+            node_lang_col(key).alias("focus_lang"),
+            "path",
+            "value",
+            "value_kind",
+            "value_dt",
+            "value_lang",
+            "component",
+            "severity",
+            "message",
+            "source_shape",
+        )
 
     def cleanup(self) -> None:
         """Unpersist cached focus/VN frames (call after materializing
@@ -391,7 +425,7 @@ class Validator:
             bad_iri = vn.where(F.col("kind") == "iri").join(
                 inst.select(F.col("node").alias("value")), "value", "left_anti"
             )
-            st(non_iri.unionByName(bad_iri).select("focus", "value"),
+            st(non_iri.unionByName(bad_iri).select("focus", "value", "kind", "dt", "lang"),
                "ClassConstraintComponent", f"value is not a SHACL instance of {c}")
 
         if shape.datatype is not None:
@@ -507,13 +541,13 @@ class Validator:
             other = _hop(nodes, self.t, p, inverse=False).withColumn("vkey", _VKEY())
             a_not_b = vnk.join(other.select("focus", "vkey"), ["focus", "vkey"], "left_anti")
             b_not_a = other.join(vnk.select("focus", "vkey"), ["focus", "vkey"], "left_anti")
-            st(a_not_b.select("focus", "value").unionByName(b_not_a.select("focus", "value")),
+            st(a_not_b.select("focus", "value", "kind", "dt", "lang").unionByName(b_not_a.select("focus", "value", "kind", "dt", "lang")),
                "EqualsConstraintComponent", f"values differ from values of {p}")
 
         for p in shape.disjoint:
             other = _hop(nodes, self.t, p, inverse=False).withColumn("vkey", _VKEY())
             shared = vnk.join(other.select("focus", "vkey"), ["focus", "vkey"], "left_semi")
-            st(shared.select("focus", "value"),
+            st(shared.select("focus", "value", "kind", "dt", "lang"),
                "DisjointConstraintComponent", f"value shared with {p}")
 
         for plist, comp, or_eq in (
@@ -532,14 +566,14 @@ class Validator:
                     F.col("value"), F.col("kind"), F.col("dt"),
                     F.col("v2"), F.col("k2"), F.col("d2"), or_equal=or_eq,
                 )
-                st(pairs.where(~F.coalesce(lt, F.lit(False))).select("focus", "value").distinct(),
+                st(pairs.where(~F.coalesce(lt, F.lit(False))).select("focus", "value", "kind", "dt", "lang").distinct(),
                    comp, f"value not less than values of {p}")
 
         # --- §4.6 logical ---------------------------------------------------------
         val_nodes = _values_as_nodes(vn)
         for s in shape.not_:
             conf = self.conforming(s, val_nodes)
-            st(self._vn_semi(vn, conf).select("focus", "value"),
+            st(self._vn_semi(vn, conf).select("focus", "value", "kind", "dt", "lang"),
                "NotConstraintComponent", f"value conforms to {s}")
 
         for group in shape.and_:
@@ -549,14 +583,14 @@ class Validator:
                 bad_nodes = nc if bad_nodes is None else bad_nodes.unionByName(nc)
             if bad_nodes is not None:
                 bad_nodes = bad_nodes.dropDuplicates(["node", "kind", "dt", "lang"])
-                st(self._vn_semi(vn, bad_nodes).select("focus", "value"),
+                st(self._vn_semi(vn, bad_nodes).select("focus", "value", "kind", "dt", "lang"),
                    "AndConstraintComponent", "value fails a member of sh:and")
 
         for group in shape.or_:
             all_bad = val_nodes
             for s in group:
                 all_bad = self.nonconforming(s, all_bad)
-            st(self._vn_semi(vn, all_bad).select("focus", "value"),
+            st(self._vn_semi(vn, all_bad).select("focus", "value", "kind", "dt", "lang"),
                "OrConstraintComponent", "value conforms to no member of sh:or")
 
         for group in shape.xone:
@@ -574,13 +608,13 @@ class Validator:
                 .select("node")
             )
             not_one = val_nodes.join(exactly_one, "node", "left_anti")
-            st(self._vn_semi(vn, not_one).select("focus", "value"),
+            st(self._vn_semi(vn, not_one).select("focus", "value", "kind", "dt", "lang"),
                "XoneConstraintComponent", "value conforms to != 1 members of sh:xone")
 
         # --- §4.7 shape based -------------------------------------------------------
         for s in shape.node:
             bad = self.nonconforming(s, val_nodes)
-            st(self._vn_semi(vn, bad).select("focus", "value"),
+            st(self._vn_semi(vn, bad).select("focus", "value", "kind", "dt", "lang"),
                "NodeConstraintComponent", f"value does not conform to {s}")
 
         # nested property shapes: every value node becomes their focus
@@ -633,6 +667,9 @@ class Validator:
             st(extra.select(
                    F.col("subj").alias("focus"),
                    F.col("obj").alias("value"),
+                   F.col("obj_kind").alias("kind"),
+                   F.col("obj_dt").alias("dt"),
+                   F.col("obj_lang").alias("lang"),
                    F.col("pred").alias("rpath"),
                ),
                "ClosedConstraintComponent", "predicate not allowed on closed shape")
@@ -668,6 +705,9 @@ class Validator:
             fired = vn.select(
                 "focus",
                 "value",
+                "kind",
+                "dt",
+                "lang",
                 F.explode(F.filter(hits, lambda x: x.isNotNull())).alias("__v"),
             )
             msg_col = F.lit(shape.messages[0]) if shape.messages else F.col("__v.msg")
@@ -676,6 +716,9 @@ class Validator:
                     F.col("focus"),
                     F.lit(path_desc).cast("string").alias("path"),
                     F.col("value"),
+                    F.col("kind").alias("value_kind"),
+                    F.col("dt").alias("value_dt"),
+                    F.col("lang").alias("value_lang"),
                     F.col("__v.component").alias("component"),
                     F.lit(shape.severity).alias("severity"),
                     msg_col.alias("message"),

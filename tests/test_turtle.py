@@ -1,0 +1,147 @@
+"""Turtle subset parser: token/term coverage + shapes-graph round-trip
+(a .ttl shapes file validates identically to its triple-row twin)."""
+
+from __future__ import annotations
+
+import pytest
+
+from shacl_spark.functions.terms import RDF, SH, XSD, triples_from_rows
+from shacl_spark.shacl import validate
+from shacl_spark.shacl.turtle import parse_turtle
+
+T = RDF + "type"
+
+SHAPES_TTL = """
+@prefix sh: <http://www.w3.org/ns/shacl#> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+@prefix ex: <http://ex.org/> .
+
+ex:PersonShape a sh:NodeShape ;
+    sh:targetClass ex:Person ;
+    sh:property [
+        sh:path ex:name ;
+        sh:minCount 1 ;
+        sh:datatype xsd:string ;
+    ] ;
+    sh:property [
+        sh:path ex:dept ;
+        sh:in ( "eng" "sales" ) ;
+    ] .
+"""
+
+DATA_TTL = """
+@prefix ex: <http://ex.org/> .
+@prefix xsd: <http://www.w3.org/2001/XMLSchema#> .
+
+ex:alice a ex:Person ;
+    ex:name "Alice" ;
+    ex:dept "eng" .
+
+ex:bob a ex:Person ;
+    ex:dept "legal" .
+
+ex:carol a ex:Person ;
+    ex:name 42 ;
+    ex:dept "sales" .
+"""
+
+EX = "http://ex.org/"
+
+
+def test_term_forms():
+    rows = parse_turtle(
+        """
+@prefix ex: <http://ex.org/> .
+ex:s ex:str "hi" ; ex:lang "bonjour"@FR ; ex:typed "5"^^ex:dt ;
+     ex:int 7 ; ex:dec 1.5 ; ex:dbl 2e3 ; ex:bool true ;
+     ex:iri <http://other/x> ; ex:esc "a\\nb\\u0041" .
+"""
+    )
+    d = {r[1]: r for r in rows}
+    assert d[EX + "str"][2:] == ("hi", "literal", XSD + "string", None)
+    assert d[EX + "lang"][2:] == ("bonjour", "literal", RDF + "langString", "fr")
+    assert d[EX + "typed"][2:] == ("5", "literal", EX + "dt", None)
+    assert d[EX + "int"][4] == XSD + "integer"
+    assert d[EX + "dec"][4] == XSD + "decimal"
+    assert d[EX + "dbl"][4] == XSD + "double"
+    assert d[EX + "bool"][2] == "true"
+    assert d[EX + "iri"][2:4] == ("http://other/x", "iri")
+    assert d[EX + "esc"][2] == "a\nb\x41"
+
+
+def test_collections_and_anon_bnodes():
+    rows = parse_turtle(
+        """
+@prefix ex: <http://ex.org/> .
+ex:s ex:list ( ex:a "x" 3 ) ; ex:empty () ; ex:anon [ ex:p ex:q ] .
+"""
+    )
+    by_pred = {}
+    for r in rows:
+        by_pred.setdefault(r[1], []).append(r)
+    # list: 3 first + 3 rest
+    firsts = by_pred[RDF + "first"]
+    assert [f[2] for f in firsts] == [EX + "a", "x", "3"]
+    rests = by_pred[RDF + "rest"]
+    assert rests[-1][2] == RDF + "nil"
+    assert by_pred[EX + "empty"][0][2] == RDF + "nil"
+    anon = by_pred[EX + "anon"][0]
+    assert anon[3] == "bnode"
+    assert any(r[0] == anon[2] and r[1] == EX + "p" for r in rows)
+
+
+def test_labelled_bnode_and_base():
+    rows = parse_turtle(
+        """
+@base <http://base/> .
+@prefix ex: <rel/> .
+_:b1 ex:p <x> .
+"""
+    )
+    assert rows[0] == ("_:b1", "http://base/rel/p", "http://base/x", "iri", None, None)
+
+
+def test_parse_errors():
+    with pytest.raises(ValueError):
+        parse_turtle("ex:s ex:p ex:o .")  # undeclared prefix
+    with pytest.raises(ValueError):
+        parse_turtle("@prefix ex: <http://e/> . ex:s ex:p ")  # truncated
+
+
+def test_shapes_roundtrip_validation(spark):
+    """The .ttl shapes graph validates the .ttl data identically to a
+    hand-encoded triple-row twin of the same shapes."""
+    shapes_ttl = parse_turtle(SHAPES_TTL)
+    data = parse_turtle(DATA_TTL)
+    INT = XSD + "integer"
+    STR = XSD + "string"
+    twin = [
+        (EX + "PersonShape", T, SH + "NodeShape"),
+        (EX + "PersonShape", SH + "targetClass", EX + "Person"),
+        (EX + "PersonShape", SH + "property", "s:p1"),
+        ("s:p1", SH + "path", EX + "name"),
+        ("s:p1", SH + "minCount", "1", "literal", INT),
+        ("s:p1", SH + "datatype", STR),
+        (EX + "PersonShape", SH + "property", "s:p2"),
+        ("s:p2", SH + "path", EX + "dept"),
+        ("s:p2", SH + "in", "s:l0"),
+        ("s:l0", RDF + "first", "eng", "literal", STR),
+        ("s:l0", RDF + "rest", "s:l1"),
+        ("s:l1", RDF + "first", "sales", "literal", STR),
+        ("s:l1", RDF + "rest", RDF + "nil"),
+    ]
+    data_df = triples_from_rows(spark, data)
+    rep_ttl = {
+        (r["focus"], r["value"], r["component"])
+        for r in validate(spark, data_df, shapes_ttl).collect()
+    }
+    rep_twin = {
+        (r["focus"], r["value"], r["component"])
+        for r in validate(spark, data_df, twin).collect()
+    }
+    assert rep_ttl == rep_twin
+    assert rep_ttl == {
+        (EX + "bob", None, SH + "MinCountConstraintComponent"),
+        (EX + "bob", "legal", SH + "InConstraintComponent"),
+        (EX + "carol", "42", SH + "DatatypeConstraintComponent"),
+    }
