@@ -839,7 +839,36 @@ def text_token_stats(spark, sf_dir):
     )
 
 
-@q("text_language_quality")  # rows-only (heuristic langid + quality)
+@q(
+    "text_language_quality",
+    # mirrors operators/text.py exactly: marker-hit argmax with the
+    # engine's (score, lang) struct-compare tie-break; quality formula
+    # in the same floating-op order; regexp_replace needs the 'g' flag
+    # (DuckDB replaces first-only by default, Spark replaces all)
+    """WITH scored AS (
+         SELECT doc_id, lang, text,
+                list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')) AS words,
+                length(text) AS n_chars,
+                length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS n_alpha,
+                len(regexp_split_to_array(trim(text), '\\s+')) AS n_words
+         FROM documents),
+       langs AS (
+         SELECT *, list_aggregate([
+             struct_pack(score := len(list_intersect(words, ['the','and','of','to','is','in'])), lang2 := 'en'),
+             struct_pack(score := len(list_intersect(words, ['el','la','de','que','los','y'])), lang2 := 'es'),
+             struct_pack(score := len(list_intersect(words, ['der','die','das','und','ist','nicht'])), lang2 := 'de'),
+             struct_pack(score := len(list_intersect(words, ['le','la','les','des','est','une'])), lang2 := 'fr')
+           ], 'max') AS best
+         FROM scored)
+       SELECT doc_id, lang,
+              CASE WHEN best.score > 0 THEN best.lang2 ELSE 'und' END AS detected_lang,
+              ROUND((least(n_chars / 200.0, 1.0)
+                     + (CASE WHEN n_chars > 0 THEN n_alpha / CAST(n_chars AS DOUBLE) ELSE 0.0 END)
+                     + (CASE WHEN n_words > 0 AND n_chars / CAST(n_words AS DOUBLE) >= 3
+                                  AND n_chars / CAST(n_words AS DOUBLE) <= 12
+                             THEN 1.0 ELSE 0.3 END)) / 3.0, 6) AS quality
+       FROM langs""",
+)
 def text_language_quality(spark, sf_dir):
     from shacl_spark.operators.text import detect_language, quality_score
 
