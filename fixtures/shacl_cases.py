@@ -485,3 +485,40 @@ case("bigint_integer_datatype",
       ("ex:S", SH + "property", "ex:SP"),
       ("ex:SP", SH + "path", "ex:v"),
       ("ex:SP", SH + "datatype", XS + "integer")])
+
+
+# ---- SPARQL-based constraints (SPEC §5; r02) ---------------------------------
+# solutions of the pre-bound SELECT are violations: persons whose start
+# exceeds their end (join via two patterns + numeric FILTER), and
+# values failing a regex.
+
+case("sparql_join_filter",
+     [("ex:a", T, "ex:Task"),
+      ("ex:a", "ex:lo", "5", "literal", XS + "integer"),
+      ("ex:a", "ex:hi", "10", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Task"),
+      ("ex:b", "ex:lo", "9", "literal", XS + "integer"),
+      ("ex:b", "ex:hi", "3", "literal", XS + "integer"),
+      ("ex:c", T, "ex:Task"),
+      ("ex:c", "ex:lo", "2", "literal", XS + "integer")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Task"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "message", "lo exceeds hi", "literal", XS + "string"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "?this ex:lo ?value . ?this ex:hi ?h . FILTER (?value > ?h) }",
+       "literal", XS + "string")])
+
+case("sparql_regex_isiri",
+     [("ex:a", T, "ex:Doc"), ("ex:a", "ex:code", "AB-12", "literal", XS + "string"),
+      ("ex:b", T, "ex:Doc"), ("ex:b", "ex:code", "bad code", "literal", XS + "string"),
+      ("ex:c", T, "ex:Doc"), ("ex:c", "ex:code", "ex:notliteral")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Doc"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "?this ex:code ?value . "
+       "FILTER (isIRI(?value) || !regex(str(?value), \"^[A-Z]+-[0-9]+$\")) }",
+       "literal", XS + "string")])

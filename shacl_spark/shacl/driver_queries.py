@@ -594,3 +594,28 @@ SELECT rid, '{SH}sourceShape', 'ex:SP', 'iri', NULL, NULL FROM rids
 UNION ALL
 SELECT rid, '{SH}resultMessage', 'fewer than 1 values', 'literal',
        '{XSD}string', NULL FROM rids"""
+
+# === SPARQL-based constraints (SPEC §5) =======================================
+
+_q(
+    "shacl_sparql_constraint",
+    [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Person"),
+        ("ex:S", SH + "sparql", "ex:SQ"),
+        ("ex:SQ", SH + "select",
+         "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+         "?this ex:start ?value . ?this ex:end ?e . FILTER (?value >= ?e) }",
+         "literal", STR),
+    ],
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+st AS (SELECT f.f, t.obj, {_NUM} AS num FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:start'),
+en AS (SELECT f.f, {_NUM} AS num FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:end')
+SELECT DISTINCT s.f AS focus,
+       CAST(NULL AS VARCHAR) AS path, s.obj AS value,
+       '{SH}SPARQLConstraintComponent' AS component
+FROM st s JOIN en e ON e.f = s.f
+WHERE s.num >= e.num""",
+)

@@ -389,7 +389,7 @@ class Validator:
                 shape.not_, shape.and_, shape.or_, shape.xone, shape.equals,
                 shape.disjoint, shape.less_than, shape.less_than_or_equals,
                 shape.has_value, shape.min_length, shape.max_length,
-                shape.language_in,
+                shape.language_in, shape.sparql,
             ) if attr not in (None, (), False)
         )
         if self.cache and n_constraints + len(shape.property) > 1:
@@ -673,6 +673,17 @@ class Validator:
                    F.col("pred").alias("rpath"),
                ),
                "ClosedConstraintComponent", "predicate not allowed on closed shape")
+
+        # SPARQL-based constraints (SPEC §5): solutions ARE violations.
+        # Evaluated over the focus-node frame; the subset binds $this
+        # ($PATH substitution for property shapes is not supported —
+        # express the path as explicit patterns instead).
+        for select_text, sp_msg in shape.sparql:
+            from shacl_spark.shacl.sparql import sparql_violations
+
+            viol = sparql_violations(select_text, nodes, self.t)
+            msg = sp_msg or "SPARQL constraint produced solutions"
+            add(self._stamp(viol, shape, "SPARQLConstraintComponent", msg, path_desc))
 
         for term in shape.has_value:
             have = (

@@ -242,6 +242,19 @@ def parse_shapes_graph(rows_or_df) -> ShapesGraph:
         in_head = g.obj(iri, SH + "in")
         shape.in_ = tuple(g.rdf_list(in_head.value)) if in_head else None
 
+        # SPARQL-based constraints (SPEC §5): sh:sparql → node with
+        # sh:select (required) + optional sh:message; sh:prefixes is
+        # not resolved here — inline PREFIX declarations are supported
+        # by the translator directly
+        sparql_constraints = []
+        for sp_node in g.objs(iri, SH + "sparql"):
+            sel = g.obj(sp_node.value, SH + "select")
+            if sel is None:
+                raise ValueError(f"sh:sparql node {sp_node.value} has no sh:select")
+            sp_msg = g.obj(sp_node.value, SH + "message")
+            sparql_constraints.append((sel.value, sp_msg.value if sp_msg else None))
+        shape.sparql = tuple(sparql_constraints)
+
         sg.shapes[iri] = shape
 
     sg.check_acyclic()

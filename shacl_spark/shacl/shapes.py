@@ -151,6 +151,9 @@ class Shape:
     qualified_max_count: int | None = None
     qualified_disjoint: bool = False
 
+    # SPARQL-based constraints (SPEC §5) — (select_text, message|None)
+    sparql: tuple[tuple[str, str | None], ...] = ()
+
     # other (§4.8)
     closed: bool = False
     ignored_properties: tuple[str, ...] = ()

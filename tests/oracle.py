@@ -521,6 +521,15 @@ class Oracle:
                 if tkey(v) not in keys:
                     emit("InConstraintComponent", v)
 
+        # SPARQL-based constraints (SPEC §5): solutions are violations
+        for select_text, _sp_msg in getattr(shape, "sparql", ()):
+            from shacl_spark.shacl.sparql import parse_sparql
+
+            q = parse_sparql(select_text)
+            for sol in _sparql_solutions(self.store, q, focus):
+                v = sol.get("value") if "value" in q.select else None
+                emit("SPARQLConstraintComponent", v)
+
         return res
 
 
@@ -543,3 +552,99 @@ def precision_recall(engine_rows, oracle_results) -> tuple[float, float]:
     precision = tp / len(e) if e else 1.0
     recall = tp / len(o) if o else 1.0
     return precision, recall
+
+
+# --- sh:sparql subset — interpretive reference evaluator ----------------------
+# Shares the PARSER with the engine (pure AST construction); execution
+# here is independent nested-loop matching per focus node.
+
+def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
+    from shacl_spark.shacl.sparql import BinOp, Call, Iri, Lit, Not, Var
+
+    def match_term(pat, term_val, term: Term | None, binds):
+        """Returns None (no match) or dict of new bindings."""
+        if isinstance(pat, Var):
+            cur = binds.get(pat.name)
+            t = term if term is not None else Term(term_val, "iri")
+            if cur is not None:
+                return {} if tkey(cur) == tkey(t) else None
+            return {pat.name: t}
+        if isinstance(pat, Iri):
+            k = term.kind if term is not None else "iri"
+            v = term.value if term is not None else term_val
+            return {} if (v == pat.value and k == "iri") else None
+        if isinstance(pat, Lit):
+            if term is None:
+                return None
+            ref = Term(pat.value, "literal", pat.dt, pat.lang)
+            return {} if tkey(term) == tkey(ref) else None
+        return None
+
+    binds_list = [{"this": focus}]
+    for pat in q.patterns:
+        nxt = []
+        for b in binds_list:
+            for s, t in store.p_obj.get(pat.p, []):
+                m1 = match_term(pat.s, s, None, b)
+                if m1 is None:
+                    continue
+                b1 = dict(b, **m1)
+                m2 = match_term(pat.o, None, t, b1)
+                if m2 is None:
+                    continue
+                nxt.append(dict(b1, **m2))
+        binds_list = nxt
+
+    def ev(e, b):
+        if isinstance(e, BinOp):
+            if e.op == "&&":
+                return bool(ev(e.left, b)) and bool(ev(e.right, b))
+            if e.op == "||":
+                return bool(ev(e.left, b)) or bool(ev(e.right, b))
+            lt, rt = _sparql_value(e.left, b), _sparql_value(e.right, b)
+            ln = _num(lt) if isinstance(lt, Term) else None
+            rn = _num(rt) if isinstance(rt, Term) else None
+            ls = lt.value if isinstance(lt, Term) else lt
+            rs = rt.value if isinstance(rt, Term) else rt
+            import operator
+            ops = {"=": operator.eq, "!=": operator.ne, "<": operator.lt,
+                   "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+            if ln is not None and rn is not None:
+                return ops[e.op](ln, rn)
+            return ops[e.op](ls, rs)
+        if isinstance(e, Not):
+            return not ev(e.inner, b)
+        if isinstance(e, Call):
+            if e.fn == "regex":
+                target = _sparql_value(e.args[0], b)
+                s = target.value if isinstance(target, Term) else target
+                return re.search(e.args[1].value, s) is not None
+            if e.fn in ("isiri", "isliteral", "isblank"):
+                t = b[e.args[0].name]
+                return t.kind == {"isiri": "iri", "isliteral": "literal",
+                                  "isblank": "bnode"}[e.fn]
+        raise ValueError(f"oracle sparql: unsupported expr {e!r}")
+
+    out = []
+    for b in binds_list:
+        if all(ev(f, b) for f in q.filters):
+            out.append(b)
+    return out
+
+
+def _sparql_value(e, b):
+    from shacl_spark.shacl.sparql import Call, Iri, Lit, Var
+
+    if isinstance(e, Var):
+        return b[e.name]
+    if isinstance(e, (Lit,)):
+        return Term(e.value, "literal", e.dt, e.lang)
+    if isinstance(e, Iri):
+        return Term(e.value, "iri")
+    if isinstance(e, Call) and e.fn == "str":
+        v = _sparql_value(e.args[0], b)
+        return v.value if isinstance(v, Term) else v
+    if isinstance(e, Call) and e.fn == "datatype":
+        t = b[e.args[0].name]
+        return (t.dt or (XSD + "string")) if t.kind == "literal" else ""
+    raise ValueError(f"oracle sparql: not a value {e!r}")
