@@ -1002,6 +1002,42 @@ def stream_dedup_count(spark, sf_dir):
     return spark.sql(f"SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) AS n_unique FROM {name}")
 
 
+@q(
+    "stream_stateful_user_stats",
+    # the custom state is (count, sum) per user; counts are monotone
+    # across update-mode emissions, so the final per-user row (max
+    # count + its total) equals the batch aggregate
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+              CAST(ROUND(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE), 4) AS DOUBLE) AS total_value
+       FROM events GROUP BY user_id""",
+)
+def stream_stateful_user_stats(spark, sf_dir):
+    # true streaming run: file replay → applyInPandasWithState running
+    # per-user stats (custom state store) → memory sink (update mode);
+    # final answer = row with the max (monotone) count per user
+    import uuid
+
+    from shacl_spark.streaming.events import replay_stream
+    from shacl_spark.streaming.stateful import user_running_stats
+
+    name = "ustats_" + uuid.uuid4().hex[:8]
+    stream = replay_stream(spark, os.path.join(sf_dir, "events.parquet"))
+    q_ = (
+        user_running_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q_.awaitTermination()
+    return spark.sql(
+        f"""SELECT user_id, MAX(n_events) AS n_events,
+                   CAST(ROUND(MAX_BY(total_value, n_events), 4) AS DOUBLE) AS total_value
+            FROM {name} GROUP BY user_id"""
+    )
+
+
 # --- multimodal plumbing (stub kernels, real Spark machinery) ---------------------------
 
 

@@ -55,3 +55,44 @@ def test_stateful_dedup_drops_dupes(spark):
     n_unique = out.select("event_id").distinct().count()
     assert out.count() == n_unique
     assert n_unique == _batch_events(spark).select("event_id").distinct().count()
+
+
+def test_stateful_user_stats_across_batches(spark, tmp_path):
+    """applyInPandasWithState: state persists across micro-batches —
+    the second batch's emission continues the first batch's counts."""
+    import os
+
+    from shacl_spark.streaming.events import EVENTS_SCHEMA
+    from shacl_spark.streaming.stateful import user_running_stats
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+
+    def rows(ids, val):
+        from datetime import datetime
+
+        return [(i, datetime(2024, 1, 1, 0, 0, i % 60), 7, "c", val, None) for i in ids]
+
+    spark.createDataFrame(rows(range(3), 1.0), EVENTS_SCHEMA).coalesce(1).write.parquet(src + "/b1")
+    spark.createDataFrame(rows(range(3, 5), 2.0), EVENTS_SCHEMA).coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        user_running_stats(stream)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("ustats_t")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {
+        (r["n_events"], r["total_value"])
+        for r in spark.sql("SELECT * FROM ustats_t WHERE user_id = 7").collect()
+    }
+    # one emission per batch: after b1 (3 events, 3.0), after b2 (5, 7.0)
+    assert (5, 7.0) in got and len(got) == 2
