@@ -522,3 +522,19 @@ case("sparql_regex_isiri",
        "?this ex:code ?value . "
        "FILTER (isIRI(?value) || !regex(str(?value), \"^[A-Z]+-[0-9]+$\")) }",
        "literal", XS + "string")])
+
+
+# ---- blank-node subjects traverse paths (r02, Turtle ingestion) ---------------
+# _:b1 has ex:q; _:b2 lacks it — the bnode focus (via targetObjectsOf)
+# must be traversed, and the missing-q bnode must violate minCount.
+
+case("bnode_subject_paths",
+     [("ex:a", "ex:p", "_:b1", "bnode"),
+      ("_:b1", "ex:q", "5", "literal", XS + "integer"),
+      ("ex:c", "ex:p", "_:b2", "bnode"),
+      ("_:b2", "ex:r", "ex:z")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetObjectsOf", "ex:p"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:q"),
+      ("ex:SP", SH + "minCount", "1", "literal", XS + "integer")])

@@ -141,9 +141,12 @@ _ENC = "\x02"
 
 
 def node_key_col(kind: Column, value: Column, dt: Column, lang: Column) -> Column:
-    """Unique term-key string for a node: IRIs pass through, other
-    kinds get `\\x02kind\\x01dt\\x01lang\\x01value`."""
-    return F.when(kind == "iri", value).otherwise(
+    """Unique term-key string for a node: IRIs and blank nodes pass
+    through (bnode labels start `_:`, which no IRI can — `_` is not a
+    valid scheme start — so the two never collide, and both stay
+    joinable against the triples `subj` column); literals get
+    `\\x02kind\\x01dt\\x01lang\\x01value`."""
+    return F.when(kind.isin("iri", "bnode"), value).otherwise(
         F.concat(
             F.lit(_ENC),
             kind,
@@ -188,9 +191,15 @@ def node_lang_col(node: Column) -> Column:
 
 def node_key(kind: str, value: str, dt: str | None = None, lang: str | None = None) -> str:
     """Driver-side mirror of :func:`node_key_col`."""
-    if kind == "iri":
+    if kind in ("iri", "bnode"):
         return value
     return _ENC + kind + "\x01" + (dt or "") + "\x01" + (lang or "") + "\x01" + value
+
+
+def subject_kind_col(subj: Column) -> Column:
+    """Kind of a term appearing in SUBJECT position (IRI or bnode by
+    the `_:` label convention)."""
+    return F.when(subj.startswith("_:"), F.lit("bnode")).otherwise(F.lit("iri"))
 
 
 # --- IRI minting (content-addressed, no blank nodes) ------------------------

@@ -658,7 +658,7 @@ class Validator:
                 ps = self.shapes[ps_iri]
                 if isinstance(ps, PropertyShape) and isinstance(ps.path, PredicatePath):
                     allowed.add(ps.path.iri)
-            subj_nodes = nodes.where(F.col("kind") == "iri").select(
+            subj_nodes = nodes.where(F.col("kind").isin("iri", "bnode")).select(
                 F.col("node").alias("subj")
             )
             extra = self.t.join(subj_nodes, "subj", "left_semi")
@@ -770,7 +770,7 @@ class Validator:
         if len(simple_children) > 1:
             preds = sorted({p for _, p in simple_children})
             multi = (
-                val_nodes.where(F.col("kind") == "iri")
+                val_nodes.where(F.col("kind").isin("iri", "bnode"))
                 .join(
                     self.t.where(F.col("pred").isin(preds)),
                     F.col("node") == F.col("subj"),

@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from shacl_spark.functions.terms import node_key_col, node_val_col
+from shacl_spark.functions.terms import node_key_col, node_val_col, subject_kind_col
 from shacl_spark.operators.fixpoint import iterate_to_fixpoint
 from shacl_spark.shacl.shapes import (
     AlternativePath,
@@ -92,7 +92,7 @@ def _hop(nodes: DataFrame, triples: DataFrame, pred_iri: str, inverse: bool) -> 
     """
     t = triples.where(F.col("pred") == pred_iri)
     if not inverse:
-        hits = nodes.where(F.col("kind") == "iri").join(
+        hits = nodes.where(F.col("kind").isin("iri", "bnode")).join(
             t, nodes["node"] == t["subj"], "inner"
         )
         return hits.select(
@@ -111,7 +111,7 @@ def _hop(nodes: DataFrame, triples: DataFrame, pred_iri: str, inverse: bool) -> 
     return hits.select(
         F.col("node").alias("focus"),
         F.col("subj").alias("value"),
-        F.lit("iri").alias("kind"),
+        subject_kind_col(F.col("subj")).alias("kind"),
         F.lit(None).cast("string").alias("dt"),
         F.lit(None).cast("string").alias("lang"),
     )
@@ -138,7 +138,8 @@ def _chain(vn: DataFrame, nxt: Path, triples: DataFrame) -> DataFrame:
     nxt_vn = eval_path(nxt, mid_nodes, triples)
     joined = vn.alias("a").join(
         nxt_vn.alias("b"),
-        (F.col("a.value") == F.col("b.focus")) & (F.col("a.kind") == F.lit("iri")),
+        (F.col("a.value") == F.col("b.focus"))
+        & F.col("a.kind").isin("iri", "bnode"),
         "inner",
     )
     return joined.select(

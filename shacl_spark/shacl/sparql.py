@@ -313,7 +313,7 @@ def translate(
             if pat.s.name in bound:
                 conds.append(
                     (F.col(_vcol(pat.s.name, "val")) == F.col(f"__s{n}"))
-                    & (F.col(_vcol(pat.s.name, "kind")) == "iri")
+                    & F.col(_vcol(pat.s.name, "kind")).isin("iri", "bnode")
                 )
             else:
                 new_vars.append((pat.s.name, "s"))
@@ -370,7 +370,9 @@ def translate(
         for var, side in new_vars:
             if side == "s":
                 new_cols[_vcol(var, "val")] = F.col(f"__s{n}")
-                new_cols[_vcol(var, "kind")] = F.lit("iri")
+                new_cols[_vcol(var, "kind")] = F.when(
+                    F.col(f"__s{n}").startswith("_:"), F.lit("bnode")
+                ).otherwise(F.lit("iri"))
                 new_cols[_vcol(var, "dt")] = F.lit(None).cast("string")
                 new_cols[_vcol(var, "lang")] = F.lit(None).cast("string")
             else:

@@ -17,6 +17,7 @@ from shacl_spark.functions.terms import (
     RDFS_SUBCLASSOF,
     node_key,
     node_key_col,
+    subject_kind_col,
 )
 from shacl_spark.operators.fixpoint import iterate_to_fixpoint
 from shacl_spark.shacl.shapes import Shape, Term
@@ -85,7 +86,7 @@ def instances_of(triples: DataFrame, closure: DataFrame, class_iri: str) -> Data
         .distinct()
         .select(
             "node",
-            F.lit("iri").alias("kind"),
+            subject_kind_col(F.col("node")).alias("kind"),
             F.lit(None).cast("string").alias("dt"),
             F.lit(None).cast("string").alias("lang"),
         )
@@ -115,7 +116,7 @@ def focus_nodes(
             .distinct()
             .select(
                 "node",
-                F.lit("iri").alias("kind"),
+                subject_kind_col(F.col("node")).alias("kind"),
                 F.lit(None).cast("string").alias("dt"),
                 F.lit(None).cast("string").alias("lang"),
             )
@@ -128,7 +129,7 @@ def focus_nodes(
             .distinct()
             .select(
                 "node",
-                F.lit("iri").alias("kind"),
+                subject_kind_col(F.col("node")).alias("kind"),
                 F.lit(None).cast("string").alias("dt"),
                 F.lit(None).cast("string").alias("lang"),
             )

@@ -206,14 +206,14 @@ class Oracle:
 
     def path_values(self, path, node: Term) -> list[Term]:
         if isinstance(path, PredicatePath):
-            if node.kind != "iri":
+            if node.kind not in ("iri", "bnode"):
                 return []
             return list(self.store.objects(node.value, path.iri))
         if isinstance(path, InversePath):
             inner = path.inner
             if isinstance(inner, PredicatePath):
                 return [
-                    Term(s, "iri")
+                    Term(s, "bnode" if s.startswith("_:") else "iri")
                     for s, t in self.store.p_obj.get(inner.iri, [])
                     if tkey(t) == tkey(node)
                 ]
@@ -300,10 +300,10 @@ class Oracle:
             classes.append(shape.iri)
         for c in classes:
             for s in sorted(self.store.instances_of(c, self.closure)):
-                add(Term(s, "iri"))
+                add(Term(s, "bnode" if s.startswith("_:") else "iri"))
         for p in shape.target_subjects_of:
             for s in sorted(self.store.p_subj.get(p, ())):
-                add(Term(s, "iri"))
+                add(Term(s, "bnode" if s.startswith("_:") else "iri"))
         for p in shape.target_objects_of:
             for _, t in self.store.p_obj.get(p, []):
                 add(t)
@@ -507,7 +507,7 @@ class Oracle:
                 ps = self.shapes[ps_iri]
                 if isinstance(ps, PropertyShape) and isinstance(ps.path, PredicatePath):
                     allowed.add(ps.path.iri)
-            if focus.kind == "iri":
+            if focus.kind in ("iri", "bnode"):
                 for p, terms in self.store.sp.get(focus.value, {}).items():
                     if p not in allowed:
                         for t in terms:
@@ -565,7 +565,11 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
         """Returns None (no match) or dict of new bindings."""
         if isinstance(pat, Var):
             cur = binds.get(pat.name)
-            t = term if term is not None else Term(term_val, "iri")
+            t = (
+                term
+                if term is not None
+                else Term(term_val, "bnode" if term_val.startswith("_:") else "iri")
+            )
             if cur is not None:
                 return {} if tkey(cur) == tkey(t) else None
             return {pat.name: t}
