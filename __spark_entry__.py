@@ -1086,21 +1086,119 @@ def multimodal_frame_plan(spark, sf_dir):
 # --- KG pipeline on the documents corpus (driver-visible smoke of the flagship path) ----
 
 
-@q("kg_extract_documents")  # rows-only: regex extraction is engine-defined
+_KG_KWS = "','".join(
+    "and as assert async await break class continue def del elif else except "
+    "finally for from global if import in is lambda nonlocal not or pass raise "
+    "return try while with yield print".split()
+)
+
+# deterministic code tail appended to each document so the extraction
+# regexes (imports / from-imports / class+extends / def / call sites,
+# incl. the nested-call adjacency case) actually fire on the prose
+# corpus; %d slots are doc_id residues, mirrored 1:1 in the oracle SQL
+_KG_CODE_TAIL = (
+    "\nimport mod%d\nfrom pkg%d import thing\n"
+    "class Cls%d(Base%d):\n    pass\n"
+    "def fn%d(y):\n    return outer%d(inner%d(y))\n"
+)
+
+
+@q(
+    "kg_extract_documents",
+    # full relational twin of the fused extraction stage: provenance
+    # (sha256 via DuckDB's own hash), regex mention detection (RE2 has
+    # no lookbehind, so the call pattern pads '(' with a trailing space
+    # — consuming-prefix matching then sees every post-paren call),
+    # per-file defined-name + keyword filtering, set semantics via
+    # DISTINCT (mirrors array_distinct).  part_id (xxhash64) is engine-
+    # defined and excluded from the projection.
+    f"""WITH docs AS (
+  SELECT source AS repo,
+         'doc/' || CAST(doc_id AS VARCHAR) || '.py' AS path,
+         substr(sha256(text), 1, 40) AS commit,
+         text || '\nimport mod' || CAST(doc_id % 7 AS VARCHAR)
+              || '\nfrom pkg' || CAST(doc_id % 5 AS VARCHAR) || ' import thing\n'
+              || 'class Cls' || CAST(doc_id % 11 AS VARCHAR)
+              || '(Base' || CAST(doc_id % 3 AS VARCHAR) || '):\n    pass\n'
+              || 'def fn' || CAST(doc_id % 13 AS VARCHAR) || '(y):\n'
+              || '    return outer' || CAST(doc_id % 4 AS VARCHAR)
+              || '(inner' || CAST(doc_id % 6 AS VARCHAR) || '(y))\n' AS content
+  FROM documents),
+base AS (SELECT repo, path, commit, content,
+                'kg:file/' || repo || '/' || path || '@' || commit AS f
+         FROM docs),
+imps AS (
+  SELECT f, unnest(regexp_extract_all(content, '(?m)^import\\s+(\\w+)', 1)) AS name FROM base
+  UNION ALL
+  SELECT f, unnest(regexp_extract_all(content, '(?m)^from\\s+(\\w+)\\s+import', 1)) FROM base),
+clsm AS (
+  SELECT f, unnest(regexp_extract_all(content,
+    '(?m)^class\\s+(\\w+)\\s*(?:\\(\\s*([\\w.]*)\\s*\\))?\\s*:', 0)) AS m FROM base),
+cls AS (
+  SELECT f, regexp_extract(m, '^class\\s+(\\w+)', 1) AS name,
+         regexp_extract(m, '^class\\s+\\w+\\s*\\(\\s*([\\w.]*)\\s*\\)', 1) AS base FROM clsm),
+fns AS (
+  SELECT f, unnest(regexp_extract_all(content, '(?m)^(?:async\\s+)?def\\s+(\\w+)\\s*\\(', 1)) AS name FROM base),
+rawcalls AS (
+  SELECT f, unnest(regexp_extract_all(replace(content, '(', '( '),
+    '(?:^|[^\\w.])(\\w+)\\s*\\(', 1)) AS name FROM base),
+defined AS (SELECT f, name FROM cls UNION SELECT f, name FROM fns),
+calls AS (
+  SELECT DISTINCT c.f, c.name FROM rawcalls c
+  WHERE c.name NOT IN ('{_KG_KWS}')
+    AND NOT EXISTS (SELECT 1 FROM defined d WHERE d.f = c.f AND d.name = c.name)),
+triples AS (
+  SELECT f AS subj, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type' AS pred,
+         'kg:File' AS obj, 'iri' AS obj_kind, CAST(NULL AS VARCHAR) AS obj_dt FROM base
+  UNION ALL SELECT f, 'kg:inRepo', 'kg:repo/' || repo, 'iri', NULL FROM base
+  UNION ALL SELECT f, 'kg:atCommit', commit, 'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM base
+  UNION ALL SELECT f, 'kg:sha256', sha256(content), 'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM base
+  UNION ALL SELECT f, 'kg:lang', 'python', 'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM base
+  UNION ALL SELECT f, 'kg:imports', 'kg:module/' || name, 'iri', NULL FROM imps
+  UNION ALL SELECT f || '#' || name, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'kg:Class', 'iri', NULL FROM cls
+  UNION ALL SELECT f, 'kg:defines', f || '#' || name, 'iri', NULL FROM cls
+  UNION ALL SELECT f || '#' || name, 'kg:name', name, 'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM cls
+  UNION ALL SELECT f || '#' || name, 'kg:extends', 'kg:mention/' || base, 'iri', NULL FROM cls
+    WHERE base IS NOT NULL AND base <> '' AND base <> 'object'
+  UNION ALL SELECT f || '#' || name, 'http://www.w3.org/1999/02/22-rdf-syntax-ns#type', 'kg:Function', 'iri', NULL FROM fns
+  UNION ALL SELECT f, 'kg:defines', f || '#' || name, 'iri', NULL FROM fns
+  UNION ALL SELECT f || '#' || name, 'kg:name', name, 'literal', 'http://www.w3.org/2001/XMLSchema#string' FROM fns
+  UNION ALL SELECT f, 'kg:calls', 'kg:mention/' || name, 'iri', NULL FROM calls),
+dedup AS (SELECT DISTINCT t.*, b.repo AS src_repo, b.path AS src_path, b.commit AS src_commit
+          FROM triples t JOIN base b ON t.subj = b.f OR t.subj LIKE b.f || '#%')
+SELECT subj, pred, obj, obj_kind, obj_dt, CAST(NULL AS VARCHAR) AS obj_lang,
+       src_repo, src_path, src_commit
+FROM dedup""",
+)
 def kg_extract_documents(spark, sf_dir):
-    """documents-as-corpus: run the real extraction stage over the
-    documents table shaped into (repo,path,commit,lang,content)."""
+    """documents-as-corpus: run the REAL fused extraction stage
+    (provenance column ops + one Arrow mention UDF + per-file
+    array_distinct) over the documents table shaped into
+    (repo, path, commit, lang, content), with a deterministic code
+    tail per doc so every mention kind fires.  part_id is dropped from
+    the driver projection (xxhash64 has no DuckDB twin); everything
+    else is hash-verified."""
     from shacl_spark.kg.extract import extract_triples
 
     docs = _t(spark, sf_dir, "documents")
+    code_tail = F.format_string(
+        _KG_CODE_TAIL,
+        (F.col("doc_id") % 7).cast("int"),
+        (F.col("doc_id") % 5).cast("int"),
+        (F.col("doc_id") % 11).cast("int"),
+        (F.col("doc_id") % 3).cast("int"),
+        (F.col("doc_id") % 13).cast("int"),
+        (F.col("doc_id") % 4).cast("int"),
+        (F.col("doc_id") % 6).cast("int"),
+    )
     corpus = docs.select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
         F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),
         F.lit("python").alias("lang"),
-        F.col("text").alias("content"),
+        F.concat(F.col("text"), code_tail).alias("content"),
     )
-    return extract_triples(corpus, n_parts=64)
+    return extract_triples(corpus, n_parts=64).drop("part_id")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
