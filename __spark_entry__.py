@@ -736,6 +736,39 @@ def dedup_ngram_jaccard(spark, sf_dir):
     return ngram_jaccard_pairs(pairs, docs, "doc_id", "text", threshold=0.8)
 
 
+@q(
+    "dedup_ngram_jaccard_exact",
+    # the exact verify stage over an all-pairs window: 3-word shingle
+    # sets (distinct, end-truncated windows — DuckDB list slicing is
+    # 1-based inclusive like Spark's slice) and integer-exact Jaccard
+    """WITH d AS (
+         SELECT doc_id, list_distinct(list_transform(
+             generate_series(0, greatest(len(regexp_split_to_array(trim(lower(text)), '\\s+')) - 3, 0)),
+             i -> array_to_string(regexp_split_to_array(trim(lower(text)), '\\s+')[i+1:i+3], ' '))) AS sh
+         FROM documents WHERE doc_id < 200)
+       SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+              CAST(ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                         / len(list_distinct(a.sh || b.sh)), 6) AS DOUBLE) AS jaccard
+       FROM d a JOIN d b ON a.doc_id < b.doc_id
+       WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+             / len(list_distinct(a.sh || b.sh)) >= 0.5""",
+)
+def dedup_ngram_jaccard_exact(spark, sf_dir):
+    """Exact-verify stage, hash-verified: all pairs in a doc_id window
+    through the same JVM shingle/set-op path the LSH verify uses."""
+    from shacl_spark.operators.dedup import ngram_jaccard_pairs
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    ids = docs.select(F.col("doc_id").alias("id_a"))
+    pairs = ids.join(
+        docs.select(F.col("doc_id").alias("id_b")), F.col("id_a") < F.col("id_b")
+    )
+    out = ngram_jaccard_pairs(pairs, docs, "doc_id", "text", threshold=0.5)
+    return out.select(
+        "id_a", "id_b", F.round(F.col("jaccard"), 6).cast("double").alias("jaccard")
+    )
+
+
 @q("dedup_embedding_cosine")  # rows-only: blocking planes are engine-defined
 def dedup_embedding_cosine(spark, sf_dir):
     """Planted near-duplicates (scaled copies of every 10th vector, so
@@ -1075,7 +1108,15 @@ def multimodal_features(spark, sf_dir):
     )
 
 
-@q("multimodal_frame_plan")  # rows-only
+@q(
+    "multimodal_frame_plan",
+    # synth media is deterministic from id: kind=video iff i%3==2,
+    # duration_ms = 1000 + i%60000; frame timestamps are the inclusive
+    # 10s grid — metadata-only planning, no payload bytes touched
+    """SELECT CAST(i AS BIGINT) AS media_id,
+              CAST(unnest(generate_series(0, 1000 + i % 60000, 10000)) AS INT) AS frame_ts_ms
+       FROM (SELECT range AS i FROM range(0, 100)) WHERE i % 3 = 2""",
+)
 def multimodal_frame_plan(spark, sf_dir):
     from shacl_spark.operators.multimodal import frame_sample_plan, synth_media
 
