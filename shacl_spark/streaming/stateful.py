@@ -63,3 +63,42 @@ def user_running_stats(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def user_running_stats_tws(events: DataFrame) -> DataFrame:
+    """Same operator through Spark 4.x's ``transformWithStateInPandas``
+    (the StatefulProcessor successor API: named state handles, timers,
+    TTL).  Requires the RocksDB state-store provider
+    (``spark.sql.streaming.stateStore.providerClass``) AND the
+    ``protobuf`` python package (the state-server protocol) — absent in
+    this sandbox, so the pytest is import-gated; the
+    applyInPandasWithState twin above is the tested path."""
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningStats(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._stats = handle.getValueState("stats", "n LONG, total DOUBLE")
+
+        def handleInputRows(self, key, rows, timerValues):
+            cur = self._stats.get() if self._stats.exists() else (0, 0.0)
+            n, total = cur[0], cur[1]
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._stats.update((n, total))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_value": [total]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    return events.groupBy("user_id").transformWithStateInPandas(
+        RunningStats(),
+        outputStructType=OUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
