@@ -65,13 +65,13 @@ SHACL_QUERIES: dict = {}
 SHACL_ORACLES: dict[str, str] = {}
 
 
-def _q(name: str, shapes: list, sql: str):
-    def fn(spark: SparkSession, sf_dir: str, _shapes=shapes) -> DataFrame:
+def _q(name: str, shapes: list, sql: str, cols: tuple = ("focus", "path", "value", "component")):
+    def fn(spark: SparkSession, sf_dir: str, _shapes=shapes, _cols=cols) -> DataFrame:
         from shacl_spark.shacl import validate
 
         triples = spark.read.parquet(FIXTURE)
         rep = validate(spark, triples, _shapes)
-        return rep.select("focus", "path", "value", "component")
+        return rep.select(*_cols)
 
     fn.__name__ = name
     SHACL_QUERIES[name] = fn
@@ -372,6 +372,51 @@ SELECT f AS focus, {_res("'ex:age'", "obj", "XoneConstraintComponent")}
 FROM vn
 WHERE (CASE WHEN {_CONF_INT} THEN 1 ELSE 0 END
      + CASE WHEN obj_kind <> 'bnode' AND length(obj) <= 2 THEN 1 ELSE 0 END) <> 1""",
+)
+
+# === B: logical (and) =========================================================
+
+_q(
+    "shacl_and",
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:age",
+        (SH + "and", "ex:andl/0"))
+    + _rdf_list("ex:andl", ["ex:IntShape", "ex:AdultShape"])
+    + _INT_SHAPE
+    + [
+        ("ex:AdultShape", T, SH + "NodeShape"),
+        ("ex:AdultShape", SH + "minInclusive", "18", "literal", INT),
+    ],
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vn AS (SELECT f.f, t.obj, t.obj_kind, t.obj_dt, {_NUM} AS num FROM focus f
+       JOIN t ON t.subj = f.f AND t.pred = 'ex:age')
+SELECT f AS focus, {_res("'ex:age'", "obj", "AndConstraintComponent")}
+FROM vn WHERE NOT ({_CONF_INT} AND coalesce(num >= 18, false))""",
+)
+
+# === B: severity / message / deactivated ======================================
+
+_q(
+    "shacl_severity",
+    # active Warning-severity shape with a custom message, plus a
+    # deactivated twin that would otherwise flag every Person (nobody
+    # has ex:phone) — the result proves both the severity/message stamp
+    # and the sh:deactivated suppression.
+    _ps("ex:S", ("targetClass", "ex:Person"), "ex:name",
+        (SH + "minCount", "1", "literal", INT),
+        (SH + "severity", SH + "Warning"),
+        (SH + "message", "every person needs a name", "literal", STR))
+    + _ps("ex:S2", ("targetClass", "ex:Person"), "ex:phone",
+          (SH + "minCount", "1", "literal", INT),
+          (SH + "deactivated", "true", "literal", XSD + "boolean")),
+    f"""WITH RECURSIVE {_focus_class("ex:Person")},
+vals AS (SELECT subj, count(*) AS n FROM t WHERE pred = 'ex:name' GROUP BY subj)
+SELECT f.f AS focus, 'ex:name' AS path, CAST(NULL AS VARCHAR) AS value,
+       '{SH}MinCountConstraintComponent' AS component,
+       '{SH}Warning' AS severity,
+       'every person needs a name' AS message
+FROM focus f LEFT JOIN vals v ON v.subj = f.f
+WHERE coalesce(v.n, 0) < 1""",
+    cols=("focus", "path", "value", "component", "severity", "message"),
 )
 
 # === B: shape-based (sh:node with nested property shape) =====================
