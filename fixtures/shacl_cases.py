@@ -70,6 +70,19 @@ case("mincount_ok",
 
 # ---- value type ------------------------------------------------------------
 
+# W3C SHACL instances include typed BLANK nodes — only _:b2 (untyped)
+# may violate sh:class here (ADVICE r02 engine.py:424 regression case)
+case("class_typed_bnode",
+     [("ex:alice", T, "ex:Agent"), ("ex:alice", "ex:knows", "_:b1", "bnode"),
+      ("_:b1", T, "ex:Person"),
+      ("ex:bob", T, "ex:Agent"), ("ex:bob", "ex:knows", "_:b2", "bnode"),
+      ("ex:carol", T, "ex:Agent"), ("ex:carol", "ex:knows", "ex:dave"),
+      ("ex:dave", T, "ex:Person")],
+     [("ex:S", T, SH + "NodeShape"), ("ex:S", SH + "targetClass", "ex:Agent"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:knows"),
+      ("ex:SP", SH + "class", "ex:Person")])
+
 case("datatype_int_illformed",
      [("ex:a", T, "ex:Thing"), ("ex:a", "ex:age", "12", "literal", XS + "integer"),
       ("ex:b", T, "ex:Thing"), ("ex:b", "ex:age", "twelve", "literal", XS + "integer"),
@@ -521,6 +534,23 @@ case("sparql_regex_isiri",
        "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
        "?this ex:code ?value . "
        "FILTER (isIRI(?value) || !regex(str(?value), \"^[A-Z]+-[0-9]+$\")) }",
+       "literal", XS + "string")])
+
+
+# SPARQL term equality (r03 ADVICE): `=` compares FULL terms, so the
+# IRI ex:gold, the plain literal "ex:gold", and "gold"@en vs "gold" are
+# all DIFFERENT — only ex:a (the genuine literal "gold") violates.
+case("sparql_term_equality",
+     [("ex:a", T, "ex:Item"), ("ex:a", "ex:tier", "gold", "literal", XS + "string"),
+      ("ex:b", T, "ex:Item"), ("ex:b", "ex:tier", "ex:gold"),
+      ("ex:c", T, "ex:Item"),
+      ("ex:c", "ex:tier", "gold", "literal", RDF + "langString", "en")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Item"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       'PREFIX ex: <ex:> SELECT ?this ?value WHERE { '
+       '?this ex:tier ?value . FILTER (?value = "gold") }',
        "literal", XS + "string")])
 
 

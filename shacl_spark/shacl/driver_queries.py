@@ -144,7 +144,7 @@ focus AS (SELECT DISTINCT subj AS f FROM t
 vn AS (SELECT f.f, t.obj, t.obj_kind FROM focus f
        JOIN t ON t.subj = f.f AND t.pred = 'ex:knows')
 SELECT f AS focus, {_res("'ex:knows'", "obj", "ClassConstraintComponent")}
-FROM vn WHERE obj_kind <> 'iri' OR obj NOT IN (SELECT subj FROM inst)""",
+FROM vn WHERE obj_kind NOT IN ('iri', 'bnode') OR obj NOT IN (SELECT subj FROM inst)""",
 )
 
 _q(
@@ -437,7 +437,7 @@ vn AS (SELECT f.f, t.obj, t.obj_kind FROM focus f
        JOIN t ON t.subj = f.f AND t.pred = 'ex:worksFor')
 SELECT f AS focus, {_res("'ex:worksFor'", "obj", "NodeConstraintComponent")}
 FROM vn WHERE NOT (
-  obj_kind = 'iri'
+  obj_kind IN ('iri', 'bnode')
   AND EXISTS (SELECT 1 FROM t WHERE t.subj = vn.obj AND t.pred = '{T}' AND t.obj = 'ex:Org')
   AND EXISTS (SELECT 1 FROM t WHERE t.subj = vn.obj AND t.pred = 'ex:locatedIn'))""",
 )
@@ -461,7 +461,7 @@ focus AS (SELECT DISTINCT subj AS f FROM t
           WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
 ok AS (SELECT f.f, count(*) AS n FROM focus f
        JOIN t ON t.subj = f.f AND t.pred = 'ex:knows'
-            AND t.obj_kind = 'iri' AND t.obj IN (SELECT subj FROM inst)
+            AND t.obj_kind IN ('iri', 'bnode') AND t.obj IN (SELECT subj FROM inst)
        GROUP BY f.f)
 SELECT f.f AS focus, {_res("'ex:knows'", "CAST(NULL AS VARCHAR)", "QualifiedMinCountConstraintComponent")}
 FROM focus f LEFT JOIN ok o ON o.f = f.f

@@ -41,6 +41,7 @@ REPORT_SCHEMA = T.StructType(
     [
         T.StructField("focus", T.StringType(), False),
         T.StructField("path", T.StringType(), True),
+        T.StructField("path_kind", T.StringType(), True),
         T.StructField("value", T.StringType(), True),
         T.StructField("value_kind", T.StringType(), True),
         T.StructField("value_dt", T.StringType(), True),
@@ -51,6 +52,16 @@ REPORT_SCHEMA = T.StructType(
         T.StructField("source_shape", T.StringType(), False),
     ]
 )
+
+def _path_kind(shape: Shape) -> str | None:
+    """'iri' when the shape's path is a plain PredicatePath, 'literal'
+    for composite paths (serialized descriptions), None for node
+    shapes — carried into the report so serialization never infers
+    term-ness from the path's surface string."""
+    if isinstance(shape, PropertyShape) and shape.path is not None:
+        return "iri" if isinstance(shape.path, PredicatePath) else "literal"
+    return None
+
 
 def _VKEY():
     return F.concat_ws(
@@ -149,10 +160,16 @@ class Validator:
             if "rpath" in cols
             else F.lit(path_desc).cast("string")
         )
+        # the engine KNOWS whether the path is a plain predicate (report
+        # serialization must emit sh:resultPath as an IRI term exactly
+        # then — never regex-sniff the surface string, ADVICE r02):
+        # rpath overrides are closed-constraint predicates, always IRIs
+        pk = "iri" if "rpath" in cols else _path_kind(shape)
         msg = shape.messages[0] if shape.messages else default_msg
         return df.select(
             F.col("focus").alias("focus"),
             rpath.alias("path"),
+            F.lit(pk).cast("string").alias("path_kind"),
             value.alias("value"),
             vkind.alias("value_kind"),
             vdt.alias("value_dt"),
@@ -341,6 +358,7 @@ class Validator:
             node_dt_col(key).alias("focus_dt"),
             node_lang_col(key).alias("focus_lang"),
             "path",
+            "path_kind",
             "value",
             "value_kind",
             "value_dt",
@@ -421,11 +439,15 @@ class Validator:
         # --- §4.1 value type --------------------------------------------------
         for c in shape.class_:
             inst = instances_of(self.t, self.closure, c)
-            non_iri = vn.where(F.col("kind") != "iri")
-            bad_iri = vn.where(F.col("kind") == "iri").join(
+            # W3C SHACL: typed blank nodes ARE SHACL instances — only
+            # literals are categorically non-instances (ADVICE r02).
+            # The lexical join is exact: subject bnodes carry the `_:`
+            # label prefix no IRI can collide with (terms.py).
+            non_resource = vn.where(~F.col("kind").isin("iri", "bnode"))
+            bad_resource = vn.where(F.col("kind").isin("iri", "bnode")).join(
                 inst.select(F.col("node").alias("value")), "value", "left_anti"
             )
-            st(non_iri.unionByName(bad_iri).select("focus", "value", "kind", "dt", "lang"),
+            st(non_resource.unionByName(bad_resource).select("focus", "value", "kind", "dt", "lang"),
                "ClassConstraintComponent", f"value is not a SHACL instance of {c}")
 
         if shape.datatype is not None:
@@ -726,6 +748,7 @@ class Validator:
                 fired.select(
                     F.col("focus"),
                     F.lit(path_desc).cast("string").alias("path"),
+                    F.lit(_path_kind(shape)).cast("string").alias("path_kind"),
                     F.col("value"),
                     F.col("kind").alias("value_kind"),
                     F.col("dt").alias("value_dt"),

@@ -10,9 +10,10 @@ triples, under a single ``sh:ValidationReport`` header node carrying
 
 Caveat (documented subset): ``sh:resultPath`` serializes the engine's
 SPARQL-ish path surface form — a plain predicate path comes out as its
-IRI; composite paths (containing ``^ | ( ) * + ?`` or a sequence
-``/`` between prefixed names) come out as a string literal rather than
-a reconstructed path structure.
+IRI (the engine marks this explicitly in the report's ``path_kind``
+column — never inferred from the surface string, so predicate IRIs
+containing ``? + (`` serialize correctly); composite paths come out as
+a string literal rather than a reconstructed path structure.
 """
 
 from __future__ import annotations
@@ -23,8 +24,6 @@ from pyspark.sql import functions as F
 from shacl_spark.functions.terms import RDF, SH, TRIPLE_SCHEMA, XSD
 
 RESULT_PREFIX = "urn:shacl:result/"
-
-_COMPOSITE_PATH = r"[\^|()*+?\s]"
 
 
 def report_to_triples(
@@ -55,7 +54,9 @@ def report_to_triples(
         )
 
     null_s = F.lit(None).cast("string")
-    path_is_iri = F.col("path").isNotNull() & ~F.col("path").rlike(_COMPOSITE_PATH)
+    path_is_iri = F.col("path").isNotNull() & (
+        F.coalesce(F.col("path_kind"), F.lit("literal")) == "iri"
+    )
     entries = F.array(
         t("__type__", F.lit(SH + "ValidationResult"), "iri"),
         t("focusNode", F.col("focus"), F.col("focus_kind"),

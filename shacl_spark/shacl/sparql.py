@@ -453,6 +453,37 @@ def _str_view(e) -> Column:
     raise ValueError(f"sparql: not a value expression: {e!r}")
 
 
+def _term_key(e) -> Column | None:
+    """Full term-identity key (kind/lexical/dt/lang, lang lowercased)
+    of a RAW term expression — None for str()/datatype() views, which
+    compare as simple strings by definition.  Used so `=`/`!=` follow
+    SPARQL term equality: <ex:x> != "ex:x", "5"@en != "5" (ADVICE r02
+    sparql.py:463)."""
+    if isinstance(e, Var):
+        kind = F.col(_vcol(e.name, "kind"))
+        lang = F.col(_vcol(e.name, "lang"))
+        # RDF 1.1: a plain literal IS an xsd:string literal — normalize
+        # so "gold" and "gold"^^xsd:string are one term
+        dt = F.coalesce(
+            F.col(_vcol(e.name, "dt")),
+            F.when((kind == "literal") & lang.isNull(), F.lit(XSD + "string")),
+            F.lit(""),
+        )
+        return F.concat_ws(
+            "\x01",
+            kind,
+            F.col(_vcol(e.name, "val")),
+            dt,
+            F.lower(F.coalesce(lang, F.lit(""))),
+        )
+    if isinstance(e, Iri):
+        return F.lit("\x01".join(["iri", e.value, "", ""]))
+    if isinstance(e, Lit):
+        dt = e.dt or (XSD + "string" if not e.lang else "")
+        return F.lit("\x01".join(["literal", e.value, dt, (e.lang or "").lower()]))
+    return None
+
+
 def _expr_col(e) -> Column:
     if isinstance(e, BinOp):
         if e.op == "&&":
@@ -468,6 +499,17 @@ def _expr_col(e) -> Column:
             "<=": operator.le, ">": operator.gt, ">=": operator.ge,
         }
         op = ops[e.op]
+        if e.op in ("=", "!="):
+            lk, rk = _term_key(e.left), _term_key(e.right)
+            if lk is not None and rk is not None:
+                # numeric value-equality first ("5"^^int = "5.0"^^dec),
+                # then FULL term identity — not the lexical flattening
+                fallback = op(lk, rk)
+                if ln is not None and rn is not None:
+                    return F.when(
+                        ln.isNotNull() & rn.isNotNull(), op(ln, rn)
+                    ).otherwise(fallback)
+                return fallback
         if ln is not None and rn is not None:
             # numeric compare when both sides cast, else string compare
             return F.when(

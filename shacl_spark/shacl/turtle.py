@@ -41,8 +41,8 @@ _TOKEN = re.compile(
   | (?P<prefix_decl>@prefix\b|@base\b|\bPREFIX\b|\bBASE\b)
   | (?P<lang>@[a-zA-Z]+(?:-[a-zA-Z0-9]+)*)
   | (?P<num>[+-]?(?:\d+\.\d+(?:[eE][+-]?\d+)?|\.\d+(?:[eE][+-]?\d+)?|\d+(?:[eE][+-]?\d+)?))
-  | (?P<bnode>_:[A-Za-z0-9_.\-]+)
-  | (?P<pname>[A-Za-z0-9_\-.]*:[A-Za-z0-9_\-.%]*)
+  | (?P<bnode>_:[A-Za-z0-9_\-](?:[A-Za-z0-9_.\-]*[A-Za-z0-9_\-])?)
+  | (?P<pname>[A-Za-z0-9_\-.]*:(?:[A-Za-z0-9_\-.%]*[A-Za-z0-9_\-%])?)
   | (?P<kw_a>\ba\b)
   | (?P<bool>\btrue\b|\bfalse\b)
   | (?P<punct>[\[\]();,.])

@@ -355,7 +355,8 @@ class Oracle:
         for c in shape.class_:
             inst = self.store.instances_of(c, self.closure)
             for v in values:
-                if v.kind != "iri" or v.value not in inst:
+                # typed bnodes are SHACL instances too (mirrors engine)
+                if v.kind not in ("iri", "bnode") or v.value not in inst:
                     emit("ClassConstraintComponent", v)
         if shape.datatype is not None:
             for v in values:
@@ -615,6 +616,17 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
                    "<=": operator.le, ">": operator.gt, ">=": operator.ge}
             if ln is not None and rn is not None:
                 return ops[e.op](ln, rn)
+            if e.op in ("=", "!=") and isinstance(lt, Term) and isinstance(rt, Term):
+                # SPARQL term equality for raw terms (mirrors engine):
+                # kind/dt/lang count (lang case-insensitive), not just
+                # the lexical form
+                def k(t: Term) -> tuple:
+                    dt = t.dt or (
+                        XSD + "string" if t.kind == "literal" and not t.lang else ""
+                    )
+                    return (t.kind, t.value, dt, (t.lang or "").lower())
+
+                return ops[e.op](k(lt), k(rt))
             return ops[e.op](ls, rs)
         if isinstance(e, Not):
             return not ev(e.inner, b)

@@ -57,6 +57,47 @@ def test_conforming_report(spark):
     assert validate(spark, triples, REPORT_METAMODEL).isEmpty()
 
 
+def test_result_path_kind_from_engine(spark):
+    """A plain predicate IRI containing regex-looking chars ('?', '+',
+    '(') must still serialize as an IRI sh:resultPath — the engine
+    marks predicate-ness explicitly; it is never sniffed from the
+    surface string (ADVICE r02 report.py:58)."""
+    weird = "http://ex.org/q?ver=1+(beta)"
+    data = [("ex:a", RDF + "type", "ex:Thing")]
+    shapes = [
+        ("ex:S", RDF + "type", SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Thing"),
+        ("ex:S", SH + "property", "ex:SP"),
+        ("ex:SP", SH + "path", weird),
+        ("ex:SP", SH + "minCount", "1", "literal", XSD + "integer"),
+    ]
+    rep = validate(spark, triples_from_rows(spark, data), shapes)
+    assert rep.count() == 1
+    triples = report_to_triples(rep)
+    path_rows = triples.where(F.col("pred") == SH + "resultPath").collect()
+    assert len(path_rows) == 1
+    assert path_rows[0]["obj"] == weird
+    assert path_rows[0]["obj_kind"] == "iri"
+
+    # a genuinely composite path still serializes as a string literal
+    shapes_seq = [
+        ("ex:S", RDF + "type", SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:Thing"),
+        ("ex:S", SH + "property", "ex:SP"),
+        ("ex:SP", SH + "path", "ex:seq/0"),
+        ("ex:seq/0", RDF + "first", "ex:p"),
+        ("ex:seq/0", RDF + "rest", "ex:seq/1"),
+        ("ex:seq/1", RDF + "first", "ex:q"),
+        ("ex:seq/1", RDF + "rest", RDF + "nil"),
+        ("ex:SP", SH + "minCount", "1", "literal", XSD + "integer"),
+    ]
+    rep2 = validate(spark, triples_from_rows(spark, data), shapes_seq)
+    prow = (
+        report_to_triples(rep2).where(F.col("pred") == SH + "resultPath").collect()
+    )
+    assert len(prow) == 1 and prow[0]["obj_kind"] == "literal"
+
+
 def test_report_revalidation_catches_tampering(spark):
     """Dropping a result's severity makes the serialized graph violate
     the report metamodel — the metamodel check is not vacuous."""

@@ -28,6 +28,25 @@ def test_case_parity(spark, name):
         pytest.fail(msg)
 
 
+def test_sparql_filter_term_equality(spark):
+    """Absolute check for the ADVICE r02 FILTER flattening: `?value =
+    "gold"` must match ONLY the plain/xsd:string literal — not the IRI
+    ex:gold and not "gold"@en."""
+    case = CASES["sparql_term_equality"]
+    rows = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"]).collect()
+    assert {(r["focus"], r["value"]) for r in rows} == {("ex:a", "gold")}
+
+
+def test_class_accepts_typed_bnode(spark):
+    """Absolute (oracle-independent) check for the ADVICE r02 bug: a
+    blank node with the required rdf:type is a SHACL instance and must
+    NOT be a ClassConstraintComponent violation; an untyped bnode must."""
+    case = CASES["class_typed_bnode"]
+    rows = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"]).collect()
+    viols = {(r["focus"], r["value"]) for r in rows}
+    assert viols == {("ex:bob", "_:b2")}
+
+
 def test_valid_metamodel_conforms(spark):
     case = CASES["shaclshacl_valid"]
     report = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"])

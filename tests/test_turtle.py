@@ -101,6 +101,26 @@ _:b1 ex:p <x> .
     assert rows[0] == ("_:b1", "http://base/rel/p", "http://base/x", "iri", None, None)
 
 
+def test_terminator_without_space():
+    """PN_LOCAL may contain but not END with a dot — 'ex:Person.' must
+    tokenize as the pname + the statement terminator (ADVICE r02
+    turtle.py:45; very common real-world Turtle)."""
+    rows = parse_turtle(
+        """
+@prefix ex: <http://ex.org/> .
+ex:alice a ex:Person.
+ex:b.c ex:p ex:v.w.
+ex:s ex:q _:b1.
+"""
+    )
+    triples = {(r[0], r[1], r[2]) for r in rows}
+    assert (EX + "alice", T, EX + "Person") in triples
+    # interior dots stay part of the local name
+    assert (EX + "b.c", EX + "p", EX + "v.w") in triples
+    # a bnode label can't end in '.' either
+    assert (EX + "s", EX + "q", "_:b1") in triples
+
+
 def test_parse_errors():
     with pytest.raises(ValueError):
         parse_turtle("ex:s ex:p ex:o .")  # undeclared prefix
