@@ -2,9 +2,14 @@
 """spark-submit entry: validate a triples table against a shapes graph.
 
     spark-submit --py-files shacl_spark.zip jobs/validate_graph.py \
-        --data   <parquet dir with the canonical triple schema> \
-        --shapes <csv/parquet of shapes triples> \
+        --data   <parquet dir | .nt N-Triples file(s) | .ttl> \
+        --shapes <csv/parquet of shapes triples | .ttl> \
         [--report <output parquet dir>]
+
+``--data *.nt`` goes through the DISTRIBUTED N-Triples reader
+(sources/ntriples.py — executor-side line parse, shuffle-free); .ttl
+data/shapes go through the driver-side Turtle parser (shapes-sized
+inputs).
 
 Prints a JSON summary line (conforms, violation counts by component);
 optionally writes the full report frame.
@@ -49,6 +54,10 @@ def main(argv=None) -> int:
         from shacl_spark.shacl.turtle import parse_turtle_file
 
         triples = triples_from_rows(spark, parse_turtle_file(args.data))
+    elif args.data.endswith(".nt") or args.data.endswith(".ntriples"):
+        from shacl_spark.sources.ntriples import read_ntriples
+
+        triples = read_ntriples(spark, args.data)
     else:
         triples = spark.read.parquet(args.data)
     report = validate(spark, triples, _read_shapes_rows(spark, args.shapes))

@@ -1,0 +1,126 @@
+"""Distributed N-Triples reader (VERDICT r02 "What's missing" #3).
+
+Real data graphs arrive as line-oriented N-Triples; shapes-sized Turtle
+goes through shacl/turtle.py on the driver, but a 100 TB data graph
+must be parsed on the executors.  This reader is `spark.read.text`
+followed by ONE codegen'd projection of regexp/conditional Column
+expressions — no Python row work, no shuffle, splittable by line like
+any text source, so a 1000-executor cluster parses partitions fully in
+parallel (plan-asserted in tests/test_plans.py).
+
+Output matches the engine's triple frame:
+DF[subj, pred, obj, obj_kind, obj_dt, obj_lang].
+
+Documented subset: \\uXXXX / \\UXXXXXXXX literal escapes pass through
+unexpanded (the five common escapes \\\\ \\" \\n \\t \\r are decoded);
+comment lines and blank lines are skipped.  Malformed lines are DROPPED
+by default — pass ``bad_lines="keep"`` to route them to a
+``_malformed`` column for dead-letter auditing instead (the 100 TB
+posture: never fail a 6-hour job on one bad record, count it).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from shacl_spark.functions.terms import RDF, XSD
+
+# one master regex over the whole line: subject (IRI or bnode),
+# predicate IRI, raw object chunk, terminating dot.  The object chunk
+# pattern mirrors N-Triples' own grammar: IRIREF | bnode | literal with
+# optional ^^<dt> / @lang suffix.
+_LINE = (
+    r"^\s*"
+    r"(<[^>]*>|_:\S+)"              # 1: subject
+    r"\s+"
+    r"(<[^>]*>)"                    # 2: predicate
+    r"\s+"
+    r"(<[^>]*>"                     # 3: object — IRI
+    r"|_:\S+"                       #            bnode
+    r'|"(?:[^"\\]|\\.)*"'           #            literal lexical
+    r"(?:\^\^<[^>]*>|@[A-Za-z][A-Za-z0-9\-]*)?"  # optional dt/lang
+    r")"
+    r"\s*\.\s*$"
+)
+
+
+def _unescape(col: Column) -> Column:
+    """Decode the five common N-Triples string escapes in one logical
+    pass: protect \\\\ behind a sentinel first so 'a\\\\nb' stays a
+    backslash + n, not a newline."""
+    c = F.regexp_replace(col, r"\\\\", "\x00")
+    c = F.regexp_replace(c, r"\\n", "\n")
+    c = F.regexp_replace(c, r"\\t", "\t")
+    c = F.regexp_replace(c, r"\\r", "\r")
+    c = F.regexp_replace(c, r'\\"', '"')
+    return F.regexp_replace(c, "\x00", "\\\\")
+
+
+def ntriples_columns(line: Column) -> list[Column]:
+    """The six triple columns as expressions over a raw line Column."""
+    s_raw = F.regexp_extract(line, _LINE, 1)
+    p_raw = F.regexp_extract(line, _LINE, 2)
+    o_raw = F.regexp_extract(line, _LINE, 3)
+
+    s_is_iri = s_raw.startswith("<")
+    subj = F.when(s_is_iri, s_raw.substr(F.lit(2), F.length(s_raw) - 2)).otherwise(s_raw)
+    pred = p_raw.substr(F.lit(2), F.length(p_raw) - 2)
+
+    o_is_iri = o_raw.startswith("<")
+    o_is_bnode = o_raw.startswith("_:")
+    o_is_lit = o_raw.startswith('"')
+    lex = F.regexp_extract(o_raw, r'^"((?:[^"\\]|\\.)*)"', 1)
+    dt = F.regexp_extract(o_raw, r"\^\^<([^>]*)>$", 1)
+    lang = F.regexp_extract(o_raw, r'"@([A-Za-z][A-Za-z0-9\-]*)$', 1)
+
+    obj = (
+        F.when(o_is_iri, o_raw.substr(F.lit(2), F.length(o_raw) - 2))
+        .when(o_is_bnode, o_raw)
+        .otherwise(_unescape(lex))
+    )
+    obj_kind = (
+        F.when(o_is_iri, F.lit("iri"))
+        .when(o_is_bnode, F.lit("bnode"))
+        .otherwise(F.lit("literal"))
+    )
+    # engine normal form (matches turtle.py / terms.py): a language
+    # literal is rdf:langString with a lowercased tag; a plain literal
+    # is xsd:string
+    obj_dt = F.when(
+        o_is_lit,
+        F.when(lang != "", F.lit(RDF + "langString"))
+        .when(dt != "", dt)
+        .otherwise(F.lit(XSD + "string")),
+    )
+    obj_lang = F.when(o_is_lit & (lang != ""), F.lower(lang))
+    return [
+        subj.alias("subj"),
+        pred.alias("pred"),
+        obj.alias("obj"),
+        obj_kind.alias("obj_kind"),
+        obj_dt.cast("string").alias("obj_dt"),
+        obj_lang.cast("string").alias("obj_lang"),
+    ]
+
+
+def read_ntriples(
+    spark: SparkSession, path: str, bad_lines: str = "drop"
+) -> DataFrame:
+    """Parse an N-Triples file (or directory / glob of files) into the
+    engine's triple frame — distributed, shuffle-free, JVM-only.
+
+    ``bad_lines='drop'`` (default) silently skips lines that are not
+    comments/blank but fail the grammar; ``'keep'`` adds a
+    ``_malformed`` string column (NULL for good rows) so a pipeline can
+    dead-letter them."""
+    lines = spark.read.text(path)
+    line = F.trim(F.col("value"))
+    content = lines.where((line != "") & ~line.startswith("#"))
+    is_good = line.rlike(_LINE)
+    if bad_lines == "keep":
+        return content.select(
+            *ntriples_columns(line),
+            F.when(~is_good, line).alias("_malformed"),
+        ).where(is_good | F.col("_malformed").isNotNull())
+    return content.where(is_good).select(*ntriples_columns(line))
