@@ -537,6 +537,22 @@ case("sparql_regex_isiri",
        "literal", XS + "string")])
 
 
+# $PATH substitution (SPEC §5.3.3, r03): the standard shacl-shacl idiom
+# `$this $PATH ?value` on a PROPERTY shape — due dates below 10 violate.
+case("sparql_path_substitution",
+     [("ex:a", T, "ex:Task"), ("ex:a", "ex:due", "20", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Task"), ("ex:b", "ex:due", "5", "literal", XS + "integer"),
+      ("ex:c", T, "ex:Task")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Task"),
+      ("ex:S", SH + "property", "ex:SP"),
+      ("ex:SP", SH + "path", "ex:due"),
+      ("ex:SP", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "SELECT ?this ?value WHERE { $this $PATH ?value . FILTER (?value < 10) }",
+       "literal", XS + "string")])
+
+
 # SPARQL term equality (r03 ADVICE): `=` compares FULL terms, so the
 # IRI ex:gold, the plain literal "ex:gold", and "gold"@en vs "gold" are
 # all DIFFERENT — only ex:a (the genuine literal "gold") violates.

@@ -698,12 +698,12 @@ class Validator:
 
         # SPARQL-based constraints (SPEC §5): solutions ARE violations.
         # Evaluated over the focus-node frame; the subset binds $this
-        # ($PATH substitution for property shapes is not supported —
-        # express the path as explicit patterns instead).
+        # and substitutes $PATH for predicate-path property shapes
+        # (SPEC §5.3.3).
         for select_text, sp_msg in shape.sparql:
-            from shacl_spark.shacl.sparql import sparql_violations
+            from shacl_spark.shacl.sparql import sparql_violations, substitute_path
 
-            viol = sparql_violations(select_text, nodes, self.t)
+            viol = sparql_violations(substitute_path(select_text, shape), nodes, self.t)
             msg = sp_msg or "SPARQL constraint produced solutions"
             add(self._stamp(viol, shape, "SPARQLConstraintComponent", msg, path_desc))
 

@@ -9,7 +9,10 @@ metamodel + typical data-quality constraints fit in it):
 
 - ``PREFIX`` declarations, then ``SELECT ?this [?value ...] WHERE {...}``
 - triple patterns over variables / IRIs / literals; ``a`` for rdf:type;
-  ``$this``/``?this`` is pre-bound to the focus node (SPEC §5.3.1)
+  ``$this``/``?this`` is pre-bound to the focus node (SPEC §5.3.1);
+  ``$PATH`` in a property shape's constraint is substituted with the
+  shape's predicate path (SPEC §5.3.3 — predicate paths only; composite
+  paths would need SPARQL path syntax the BGP translator doesn't model)
 - ``FILTER ( expr )`` with ``&& || !``, comparisons
   ``= != < <= > >=`` (numeric when both sides cast, else string),
   ``regex(x, "re")``, ``str()``, ``datatype()``, ``isIRI/isLiteral/
@@ -529,6 +532,21 @@ def _expr_col(e) -> Column:
             want = {"isiri": "iri", "isliteral": "literal", "isblank": "bnode"}[e.fn]
             return F.col(_vcol(v.name, "kind")) == want
     raise ValueError(f"sparql: unsupported boolean expression {e!r}")
+
+
+def substitute_path(select_text: str, shape) -> str:
+    """SPEC §5.3.3: replace ``$PATH`` with the property shape's path.
+    Subset: predicate paths only — the standard shacl-shacl idiom
+    (``$this $PATH ?value``) works; composite paths raise."""
+    if "$PATH" not in select_text:
+        return select_text
+    from shacl_spark.shacl.shapes import PredicatePath, PropertyShape
+
+    if isinstance(shape, PropertyShape) and isinstance(shape.path, PredicatePath):
+        return select_text.replace("$PATH", f"<{shape.path.iri}>")
+    raise ValueError(
+        "sparql: $PATH requires a property shape with a plain predicate path"
+    )
 
 
 def sparql_violations(

@@ -524,9 +524,9 @@ class Oracle:
 
         # SPARQL-based constraints (SPEC §5): solutions are violations
         for select_text, _sp_msg in getattr(shape, "sparql", ()):
-            from shacl_spark.shacl.sparql import parse_sparql
+            from shacl_spark.shacl.sparql import parse_sparql, substitute_path
 
-            q = parse_sparql(select_text)
+            q = parse_sparql(substitute_path(select_text, shape))
             for sol in _sparql_solutions(self.store, q, focus):
                 v = sol.get("value") if "value" in q.select else None
                 emit("SPARQLConstraintComponent", v)

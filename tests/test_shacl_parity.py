@@ -28,6 +28,16 @@ def test_case_parity(spark, name):
         pytest.fail(msg)
 
 
+def test_sparql_path_substitution(spark):
+    """Absolute check: `$this $PATH ?value` resolves to the property
+    shape's predicate path (SPEC §5.3.3) — only ex:b (due=5 < 10)
+    violates; ex:c has no ex:due so no solution."""
+    case = CASES["sparql_path_substitution"]
+    rows = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"]).collect()
+    assert {(r["focus"], r["value"]) for r in rows} == {("ex:b", "5")}
+    assert all(r["component"].endswith("SPARQLConstraintComponent") for r in rows)
+
+
 def test_sparql_filter_term_equality(spark):
     """Absolute check for the ADVICE r02 FILTER flattening: `?value =
     "gold"` must match ONLY the plain/xsd:string literal — not the IRI
