@@ -90,7 +90,15 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
 
         shapes = parse_shapes_graph(KG_METAMODEL)
 
-        def bench_validate(triples, runs=n_runs):
+        # the headline-query loop leaves cached frames + page-cache
+        # pressure behind; start the validation measurement clean, and
+        # give it extra warm runs — on this VM a single steal spike can
+        # double one run (the r02 driver window caught exactly that:
+        # 20.8 s captured vs 7.8-10.9 s quiet; best-of-5 makes the
+        # capture robust to one bad second)
+        spark.catalog.clearCache()
+
+        def bench_validate(triples, runs=max(n_runs, 5)):
             # size the cached input to the data (600k rows over 1024
             # extraction partitions → ~500 rows/task: per-task fixed
             # overhead dominates every downstream stage; at deployment
@@ -110,6 +118,23 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         out["validate_sec"] = round(vdt, 2)
         out["validate_triples_per_sec"] = round(nt / vdt, 1)
         out["violations"] = n_viol
+        # canonicalization (link → CC fixpoint → rewrite) with the CC
+        # convergence observability SCALING.md promises: iterations +
+        # per-round frontier sizes, so a 100× run's convergence is
+        # monitorable from this JSON
+        from shacl_spark.kg.canon import canonicalize
+
+        cc_stats: dict = {}
+        c0 = time.time()
+        # same input sizing as the validate block: 1024 extraction
+        # partitions → ~500 rows/task starves every stage on per-task
+        # overhead at this corpus size
+        out["canon_triples"] = canonicalize(
+            full.repartition(32), cc_stats=cc_stats
+        ).count()
+        out["canon_sec"] = round(time.time() - c0, 2)
+        out["cc_iterations"] = cc_stats.get("iterations", 0)
+        out["cc_frontier"] = cc_stats.get("frontier", [])
         # fixed-overhead amortization evidence (BENCH/BASELINE.md): the
         # same job at 10× input — throughput must rise superlinearly if
         # the 1×-corpus cost is scheduling overhead, not data work

@@ -40,29 +40,67 @@ def build_component_map(
     n_hashes: int = 64,
     bands: int = 16,
     max_bucket: int = 64,
+    cc_stats: dict | None = None,
 ) -> DataFrame:
     """DF[id, canonical] for every entity that belongs to a match
-    component (representative = min IRI, deterministic)."""
+    component (representative = min IRI, deterministic).  ``cc_stats``
+    is passed through to connected_components for convergence
+    observability.
+
+    Two-tier matching (the 100 TB shape, fixed r03): entities sharing
+    an IDENTICAL name are grouped LINEARLY (one groupBy → star edges to
+    the min-id representative) — at corpus scale a popular class name
+    appears in thousands of files, and pushing those through LSH either
+    explodes quadratically or, with the bucket cap, silently drops them
+    (exactly what happened at 20k files: every same-name bucket blew
+    past max_bucket and the match graph came back EMPTY).  LSH + the
+    pandas-UDF scorer then run over DISTINCT names only — the near-dup
+    problem ("HttpClient" vs "HTTPClient") is a property of names, not
+    of their occurrences, and the distinct-name frame is orders of
+    magnitude smaller."""
     names = entity_name_frame(triples)
+    reps = names.groupBy("name").agg(F.min("id").alias("rep"))
+    distinct_names = reps.select(F.col("rep").alias("id"), "name")
     pairs = candidate_pairs(
-        names, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket
+        distinct_names, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket
     )
     matches = score_pairs(pairs, threshold=threshold)
-    comps = connected_components(
-        matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    # the ITERATIVE algorithm runs only on the rep-level near-dup graph
+    # (O(#distinct names) nodes); gluing the exact-name stars back is
+    # two hash joins — components over (stars ∪ matches) factor exactly
+    # this way because every member's only edge is to its name's rep,
+    # and component minima coincide (rep = min id per name)
+    rep_comps = connected_components(
+        matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
+        stats=cc_stats,
     )
-    return comps.where(F.col("id") != F.col("component")).select(
-        "id", F.col("component").alias("canonical")
+    canon_of_name = reps.join(
+        rep_comps, reps["rep"] == rep_comps["id"], "left"
+    ).select(
+        "name", F.coalesce("component", "rep").alias("canonical")
+    )
+    return (
+        names.join(canon_of_name, "name")
+        .where(F.col("id") != F.col("canonical"))
+        .select("id", "canonical")
     )
 
 
-def rewrite_triples(triples: DataFrame, comp_map: DataFrame) -> DataFrame:
+def rewrite_triples(
+    triples: DataFrame, comp_map: DataFrame, broadcast_map: bool = True
+) -> DataFrame:
     """A11: rewrite subj and obj through the canonical map (two
-    broadcast joins + coalesce), then re-dedup (A12)."""
-    subj_map = F.broadcast(
+    broadcast joins + coalesce), then re-dedup (A12).
+
+    ``broadcast_map=False`` switches to shuffle joins for deployments
+    where the map outgrows executor memory (it is O(matched entities);
+    with r03's exact-name tier that is every duplicated symbol, so at
+    extreme corpus scale prefer False and let AQE pick)."""
+    wrap = F.broadcast if broadcast_map else (lambda df: df)
+    subj_map = wrap(
         comp_map.select(F.col("id").alias("subj"), F.col("canonical").alias("subj_canon"))
     )
-    obj_map = F.broadcast(
+    obj_map = wrap(
         comp_map.select(F.col("id").alias("obj"), F.col("canonical").alias("obj_canon"))
     )
     rewritten = (
@@ -92,7 +130,9 @@ def rewrite_triples(triples: DataFrame, comp_map: DataFrame) -> DataFrame:
     )
 
 
-def canonicalize(triples: DataFrame, threshold: float = 0.75) -> DataFrame:
+def canonicalize(
+    triples: DataFrame, threshold: float = 0.75, cc_stats: dict | None = None
+) -> DataFrame:
     """Full A7–A12: link, resolve, rewrite, dedup."""
-    comp_map = build_component_map(triples, threshold=threshold)
+    comp_map = build_component_map(triples, threshold=threshold, cc_stats=cc_stats)
     return rewrite_triples(triples, comp_map)
