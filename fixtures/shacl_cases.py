@@ -537,6 +537,40 @@ case("sparql_regex_isiri",
        "literal", XS + "string")])
 
 
+# OPTIONAL + bound() (r03): persons WITH a name but WITHOUT a nick
+# violate — the optional group leaves ?n unbound and !bound(?n) fires.
+case("sparql_optional_bound",
+     [("ex:a", T, "ex:Person"),
+      ("ex:a", "ex:name", "A", "literal", XS + "string"),
+      ("ex:a", "ex:nick", "Ace", "literal", XS + "string"),
+      ("ex:b", T, "ex:Person"),
+      ("ex:b", "ex:name", "B", "literal", XS + "string"),
+      ("ex:c", T, "ex:Person")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Person"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "?this ex:name ?value . OPTIONAL { ?this ex:nick ?n } "
+       "FILTER (!bound(?n)) }",
+       "literal", XS + "string")])
+
+# comparison over an unbound optional var is a SPARQL type error →
+# false: only the literal-"x" alias fires, not the IRI ex:x, not the
+# alias-less person.
+case("sparql_optional_compare",
+     [("ex:a", T, "ex:Item"), ("ex:a", "ex:alias", "x", "literal", XS + "string"),
+      ("ex:b", T, "ex:Item"), ("ex:b", "ex:alias", "ex:x"),
+      ("ex:c", T, "ex:Item")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Item"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       'PREFIX ex: <ex:> SELECT ?this WHERE { '
+       '?this a ex:Item . OPTIONAL { ?this ex:alias ?a } '
+       'FILTER (?a = "x") }',
+       "literal", XS + "string")])
+
 # $PATH substitution (SPEC §5.3.3, r03): the standard shacl-shacl idiom
 # `$this $PATH ?value` on a PROPERTY shape — due dates below 10 violate.
 case("sparql_path_substitution",

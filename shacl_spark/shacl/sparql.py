@@ -13,10 +13,15 @@ metamodel + typical data-quality constraints fit in it):
   ``$PATH`` in a property shape's constraint is substituted with the
   shape's predicate path (SPEC §5.3.3 — predicate paths only; composite
   paths would need SPARQL path syntax the BGP translator doesn't model)
+- ``OPTIONAL { pattern* }`` groups (r03): each group is evaluated as a
+  unit over its anchor variables and LEFT-joined back, so a failed
+  group leaves ALL of its variables unbound (never a partial prefix)
 - ``FILTER ( expr )`` with ``&& || !``, comparisons
-  ``= != < <= > >=`` (numeric when both sides cast, else string),
-  ``regex(x, "re")``, ``str()``, ``datatype()``, ``isIRI/isLiteral/
-  isBlank``, ``bound`` is NOT needed (no OPTIONAL in the subset)
+  ``= != < <= > >=`` (term identity for ``=``/``!=`` on raw terms,
+  numeric when both sides cast, else string), ``regex(x, "re")``,
+  ``str()``, ``datatype()``, ``isIRI/isLiteral/isBlank``,
+  ``bound(?x)``; comparisons over unbound optional vars are SPARQL
+  type errors → false
 
 Violations are the solution rows: focus = ?this, value = ?value when
 selected (SPEC §5.3.2).
@@ -82,6 +87,9 @@ class Query:
     select: list[str] = field(default_factory=list)
     patterns: list[Pattern] = field(default_factory=list)
     filters: list[object] = field(default_factory=list)
+    # OPTIONAL { pattern* } groups (r03): each is a list of patterns
+    # left-joined as a unit — a failed group leaves its vars unbound
+    optionals: list[list[Pattern]] = field(default_factory=list)
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -160,6 +168,21 @@ class SparqlParser:
                 self._expect("punct", "(")
                 q.filters.append(self._expr())
                 self._expect("punct", ")")
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if k == "ident" and v.upper() == "OPTIONAL":
+                self._next()
+                self._expect("punct", "{")
+                group: list[Pattern] = []
+                while self._peek() != ("punct", "}"):
+                    if self._peek()[0] is None:
+                        raise ValueError("sparql: unterminated OPTIONAL block")
+                    group.append(self._pattern())
+                self._expect("punct", "}")
+                if not group:
+                    raise ValueError("sparql: empty OPTIONAL block")
+                q.optionals.append(group)
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -268,7 +291,7 @@ class SparqlParser:
 
 
 # FILTER functions are a closed set in this subset
-_FUNCS = ("regex", "str", "datatype", "isiri", "isliteral", "isblank")
+_FUNCS = ("regex", "str", "datatype", "isiri", "isliteral", "isblank", "bound")
 
 
 def parse_sparql(text: str) -> Query:
@@ -300,8 +323,74 @@ def translate(
         F.col("lang").alias(_vcol("this", "lang")),
     )
     bound = {"this"}
+    counter = [0]
+    cur = _join_patterns(cur, bound, query.patterns, triples, counter)
 
-    for n, pat in enumerate(query.patterns):
+    for group in query.optionals:
+        gvars = _pattern_vars(group)
+        anchors = sorted(gvars & bound)
+        if not anchors:
+            raise ValueError("sparql: OPTIONAL group shares no bound variable")
+        # evaluate the group as a unit over the distinct anchor
+        # bindings, then LEFT-join back — a failed group must leave ALL
+        # of its vars unbound (sequential left joins would bind partial
+        # prefixes)
+        seed = cur.select(
+            *[F.col(_vcol(a, p)) for a in anchors for p in _VCOLS]
+        ).distinct()
+        gbound = set(anchors)
+        g = _join_patterns(seed, gbound, group, triples, counter)
+        for a in anchors:
+            for p in _VCOLS:
+                g = g.withColumnRenamed(_vcol(a, p), f"__anc_{a}_{p}")
+        cond = F.lit(True)
+        for a in anchors:
+            cond = (
+                cond
+                & (F.col(_vcol(a, "val")) == F.col(f"__anc_{a}_val"))
+                & (F.col(_vcol(a, "kind")) == F.col(f"__anc_{a}_kind"))
+                & F.col(_vcol(a, "dt")).eqNullSafe(F.col(f"__anc_{a}_dt"))
+                & F.col(_vcol(a, "lang")).eqNullSafe(F.col(f"__anc_{a}_lang"))
+            )
+        cur = cur.join(g, cond, "left").drop(
+            *[f"__anc_{a}_{p}" for a in anchors for p in _VCOLS]
+        )
+        bound |= gbound
+
+    for flt in query.filters:
+        missing = _expr_vars(flt) - bound
+        if missing:
+            raise ValueError(f"sparql: FILTER references unbound vars {missing}")
+        cur = cur.where(_expr_col(flt))
+
+    cols = [F.col("__this__node").alias("focus")]
+    if "value" in query.select and "value" in bound:
+        cols += [
+            F.col(_vcol("value", "val")).alias("value"),
+            F.col(_vcol("value", "kind")).alias("kind"),
+            F.col(_vcol("value", "dt")).alias("dt"),
+            F.col(_vcol("value", "lang")).alias("lang"),
+        ]
+    return cur.select(*cols).distinct()
+
+
+def _pattern_vars(patterns) -> set[str]:
+    out: set[str] = set()
+    for pat in patterns:
+        for term in (pat.s, pat.o):
+            if isinstance(term, Var):
+                out.add(term.name)
+    return out
+
+
+def _join_patterns(
+    cur: DataFrame, bound: set, patterns, triples: DataFrame, counter: list
+) -> DataFrame:
+    """Fold a list of triple patterns into ``cur`` as inner equi-joins,
+    binding fresh variables; mutates ``bound`` and the join counter."""
+    for pat in patterns:
+        n = counter[0]
+        counter[0] += 1
         t = triples.where(F.col("pred") == pat.p).select(
             F.col("subj").alias(f"__s{n}"),
             F.col("obj").alias(f"__o{n}"),
@@ -387,22 +476,7 @@ def translate(
         if new_cols:
             cur = cur.withColumns(new_cols)
         cur = cur.drop(f"__s{n}", f"__o{n}", f"__ok{n}", f"__od{n}", f"__ol{n}")
-
-    for flt in query.filters:
-        missing = _expr_vars(flt) - bound
-        if missing:
-            raise ValueError(f"sparql: FILTER references unbound vars {missing}")
-        cur = cur.where(_expr_col(flt))
-
-    cols = [F.col("__this__node").alias("focus")]
-    if "value" in query.select and "value" in bound:
-        cols += [
-            F.col(_vcol("value", "val")).alias("value"),
-            F.col(_vcol("value", "kind")).alias("kind"),
-            F.col(_vcol("value", "dt")).alias("dt"),
-            F.col(_vcol("value", "lang")).alias("lang"),
-        ]
-    return cur.select(*cols).distinct()
+    return cur
 
 
 def _expr_vars(e) -> set[str]:
@@ -506,8 +580,18 @@ def _expr_col(e) -> Column:
             lk, rk = _term_key(e.left), _term_key(e.right)
             if lk is not None and rk is not None:
                 # numeric value-equality first ("5"^^int = "5.0"^^dec),
-                # then FULL term identity — not the lexical flattening
-                fallback = op(lk, rk)
+                # then FULL term identity — not the lexical flattening.
+                # Comparing an UNBOUND optional var is a SPARQL type
+                # error -> effectively false for both = and != (the
+                # concat_ws key would otherwise turn all-NULL into "").
+                def _defined(t):
+                    return (
+                        F.col(_vcol(t.name, "val")).isNotNull()
+                        if isinstance(t, Var)
+                        else F.lit(True)
+                    )
+
+                fallback = op(lk, rk) & _defined(e.left) & _defined(e.right)
                 if ln is not None and rn is not None:
                     return F.when(
                         ln.isNotNull() & rn.isNotNull(), op(ln, rn)
@@ -531,6 +615,10 @@ def _expr_col(e) -> Column:
             assert isinstance(v, Var)
             want = {"isiri": "iri", "isliteral": "literal", "isblank": "bnode"}[e.fn]
             return F.col(_vcol(v.name, "kind")) == want
+        if e.fn == "bound":
+            v = e.args[0]
+            assert isinstance(v, Var), "bound() needs a variable"
+            return F.col(_vcol(v.name, "val")).isNotNull()
     raise ValueError(f"sparql: unsupported boolean expression {e!r}")
 
 

@@ -585,19 +585,32 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
             return {} if tkey(term) == tkey(ref) else None
         return None
 
-    binds_list = [{"this": focus}]
-    for pat in q.patterns:
+    def extend(binds, patterns):
+        out = list(binds)
+        for pat in patterns:
+            nxt = []
+            for b in out:
+                for s, t in store.p_obj.get(pat.p, []):
+                    m1 = match_term(pat.s, s, None, b)
+                    if m1 is None:
+                        continue
+                    b1 = dict(b, **m1)
+                    m2 = match_term(pat.o, None, t, b1)
+                    if m2 is None:
+                        continue
+                    nxt.append(dict(b1, **m2))
+            out = nxt
+        return out
+
+    binds_list = extend([{"this": focus}], q.patterns)
+    # OPTIONAL groups (mirrors engine): a group that matches extends the
+    # binding; one that doesn't leaves the binding unchanged (its vars
+    # unbound) — never a partially-bound prefix
+    for group in getattr(q, "optionals", []):
         nxt = []
         for b in binds_list:
-            for s, t in store.p_obj.get(pat.p, []):
-                m1 = match_term(pat.s, s, None, b)
-                if m1 is None:
-                    continue
-                b1 = dict(b, **m1)
-                m2 = match_term(pat.o, None, t, b1)
-                if m2 is None:
-                    continue
-                nxt.append(dict(b1, **m2))
+            exts = extend([b], group)
+            nxt.extend(exts if exts else [b])
         binds_list = nxt
 
     def ev(e, b):
@@ -607,6 +620,8 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
             if e.op == "||":
                 return bool(ev(e.left, b)) or bool(ev(e.right, b))
             lt, rt = _sparql_value(e.left, b), _sparql_value(e.right, b)
+            if lt is None or rt is None:
+                return False  # unbound comparison is a SPARQL type error
             ln = _num(lt) if isinstance(lt, Term) else None
             rn = _num(rt) if isinstance(rt, Term) else None
             ls = lt.value if isinstance(lt, Term) else lt
@@ -633,12 +648,18 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
         if isinstance(e, Call):
             if e.fn == "regex":
                 target = _sparql_value(e.args[0], b)
+                if target is None:
+                    return False
                 s = target.value if isinstance(target, Term) else target
                 return re.search(e.args[1].value, s) is not None
             if e.fn in ("isiri", "isliteral", "isblank"):
-                t = b[e.args[0].name]
+                t = b.get(e.args[0].name)
+                if t is None:
+                    return False
                 return t.kind == {"isiri": "iri", "isliteral": "literal",
                                   "isblank": "bnode"}[e.fn]
+            if e.fn == "bound":
+                return e.args[0].name in b
         raise ValueError(f"oracle sparql: unsupported expr {e!r}")
 
     out = []
@@ -652,7 +673,7 @@ def _sparql_value(e, b):
     from shacl_spark.shacl.sparql import Call, Iri, Lit, Var
 
     if isinstance(e, Var):
-        return b[e.name]
+        return b.get(e.name)  # None = unbound optional var
     if isinstance(e, (Lit,)):
         return Term(e.value, "literal", e.dt, e.lang)
     if isinstance(e, Iri):
@@ -661,6 +682,8 @@ def _sparql_value(e, b):
         v = _sparql_value(e.args[0], b)
         return v.value if isinstance(v, Term) else v
     if isinstance(e, Call) and e.fn == "datatype":
-        t = b[e.args[0].name]
+        t = b.get(e.args[0].name)
+        if t is None:
+            return None
         return (t.dt or (XSD + "string")) if t.kind == "literal" else ""
     raise ValueError(f"oracle sparql: not a value {e!r}")

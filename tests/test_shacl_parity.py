@@ -28,6 +28,19 @@ def test_case_parity(spark, name):
         pytest.fail(msg)
 
 
+def test_sparql_optional_bound(spark):
+    """Absolute: OPTIONAL leaves ?n unbound for nick-less persons and
+    !bound(?n) fires exactly for them; comparing an unbound var is a
+    type error (second case: only the literal alias matches)."""
+    case = CASES["sparql_optional_bound"]
+    rows = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"]).collect()
+    assert {(r["focus"], r["value"]) for r in rows} == {("ex:b", "B")}
+
+    case2 = CASES["sparql_optional_compare"]
+    rows2 = validate(spark, triples_from_rows(spark, case2["data"]), case2["shapes"]).collect()
+    assert {r["focus"] for r in rows2} == {"ex:a"}
+
+
 def test_sparql_path_substitution(spark):
     """Absolute check: `$this $PATH ?value` resolves to the property
     shape's predicate path (SPEC §5.3.3) — only ex:b (due=5 < 10)
