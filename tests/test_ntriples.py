@@ -98,6 +98,91 @@ def test_validate_over_nt(spark, tmp_path):
     assert [r["focus"] for r in rep.collect()] == ["ex:bob"]
 
 
+def _render_nt(subj, pred, obj, kind, dt, lang) -> str:
+    def esc(s):
+        return (
+            s.replace("\\", "\\\\").replace('"', '\\"')
+            .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+        )
+    s = subj if subj.startswith("_:") else f"<{subj}>"
+    if kind == "iri":
+        o = f"<{obj}>"
+    elif kind == "bnode":
+        o = obj
+    elif lang:
+        o = f'"{esc(obj)}"@{lang}'
+    elif dt and dt != XSD + "string":
+        o = f'"{esc(obj)}"^^<{dt}>'
+    else:
+        o = f'"{esc(obj)}"'
+    return f"{s} <{pred}> {o} ."
+
+
+def test_property_roundtrip(spark, tmp_path):
+    """Property-style round-trip: random terms rendered to N-Triples
+    lines parse back to the exact term set (engine normal form)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    lex = st.text(
+        alphabet=st.characters(blacklist_categories=("Cs", "Cc")),
+        min_size=0, max_size=20,
+    )
+    terms = st.one_of(
+        st.tuples(st.just("iri"), st.from_regex(r"http://x/[a-z]{1,8}", fullmatch=True),
+                  st.none(), st.none()),
+        st.tuples(st.just("bnode"), st.from_regex(r"_:[a-z][a-z0-9]{0,6}", fullmatch=True),
+                  st.none(), st.none()),
+        st.tuples(st.just("literal"), lex, st.none(), st.none()),
+        st.tuples(st.just("literal"), lex, st.just(XSD + "integer"), st.none()),
+        st.tuples(st.just("literal"), lex, st.none(),
+                  st.from_regex(r"[a-z]{2}(-[A-Z]{2})?", fullmatch=True)),
+    )
+
+    @settings(max_examples=6, deadline=None, suppress_health_check=list(HealthCheck))
+    @given(st.lists(terms, min_size=1, max_size=8, unique=True))
+    def check(objs):
+        rows, lines = [], []
+        for i, (kind, val, dt, lang) in enumerate(objs):
+            subj, pred = f"http://x/s{i}", f"http://x/p{i % 3}"
+            lines.append(_render_nt(subj, pred, val, kind, dt, lang))
+            if kind == "literal":
+                norm_dt = RDF + "langString" if lang else (dt or XSD + "string")
+                norm_lang = lang.lower() if lang else None
+            else:
+                norm_dt = norm_lang = None
+            rows.append((subj, pred, val, kind, norm_dt, norm_lang))
+        p = tmp_path / "prop.nt"
+        p.write_text("\n".join(lines) + "\n")
+        got = {tuple(r) for r in read_ntriples(spark, str(p)).collect()}
+        assert got == set(rows)
+
+    check()
+
+
+def test_sparql_seam_errors(spark):
+    """$PATH on a composite path and an anchor-less OPTIONAL raise
+    clear errors instead of silently mis-translating."""
+    import pytest as _pytest
+
+    from shacl_spark.shacl.shapes import PropertyShape, SequencePath, PredicatePath
+    from shacl_spark.shacl.sparql import parse_sparql, substitute_path, translate
+
+    seq = PropertyShape(iri="ex:SP", path=SequencePath((PredicatePath("ex:a"), PredicatePath("ex:b"))))
+    with _pytest.raises(ValueError, match="PATH"):
+        substitute_path("SELECT ?this WHERE { $this $PATH ?v }", seq)
+
+    from shacl_spark.functions.terms import triples_from_rows
+    q = parse_sparql(
+        "PREFIX ex: <ex:> SELECT ?this WHERE { ?this ex:p ?v . OPTIONAL { ?x ex:q ?y } }"
+    )
+    t = triples_from_rows(spark, [("ex:s", "ex:p", "ex:o")])
+    focus = t.selectExpr("subj as node", "'iri' as kind",
+                         "cast(null as string) as dt", "cast(null as string) as lang")
+    with _pytest.raises(ValueError, match="OPTIONAL"):
+        translate(q, focus, t)
+
+
 def test_million_line_plan_and_count(spark):
     """1M-line NT ingest: the physical plan must be a narrow JVM-only
     projection — zero Exchange, zero Python stages — and row-exact."""
