@@ -246,6 +246,59 @@ def ngram_jaccard_pairs(
     return out
 
 
+def apply_dedup(
+    df: DataFrame, pairs: DataFrame, id_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """Turn near-dup PAIRS into a deduplicated corpus (r03): connected
+    components over the pair graph pick one deterministic
+    representative (min id) per duplicate cluster; returns
+    ``(kept_rows, dup_map)`` where ``dup_map`` is DF[id, canonical] for
+    every DROPPED row.  This is the user-facing "give me the deduped
+    corpus" step the pair generators feed — transitive closure matters
+    (A~B, B~C ⇒ keep one of {A,B,C} even if A~C was never scored), so a
+    keep-min-per-pair heuristic is not enough.
+
+    Scale shape: CC runs only on the pair graph (candidates that
+    SURVIVED verification — tiny next to the corpus); the final
+    filter is one anti-join."""
+    from shacl_spark.kg.cc import connected_components
+
+    edges = pairs.select(
+        F.col("id_a").cast("string").alias("src"),
+        F.col("id_b").cast("string").alias("dst"),
+    )
+    comps = connected_components(edges)
+    dup_map = comps.where(F.col("id") != F.col("component")).select(
+        F.col("id"), F.col("component").alias("canonical")
+    )
+    drop_ids = dup_map.select(
+        F.col("id").alias(f"__drop_{id_col}")
+    )
+    kept = df.join(
+        drop_ids,
+        df[id_col].cast("string") == drop_ids[f"__drop_{id_col}"],
+        "left_anti",
+    )
+    return kept, dup_map
+
+
+def near_dedup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    n: int = 3,
+    max_bucket: int = 256,
+) -> tuple[DataFrame, DataFrame]:
+    """End-to-end near-duplicate removal: minhash-LSH blocking →
+    exact n-gram-Jaccard verification at ``threshold`` → connected
+    components → keep the min-id representative per cluster.
+    Returns ``(kept_rows, dup_map)``."""
+    cand = minhash_lsh_pairs(df, id_col, text_col, max_bucket=max_bucket)
+    verified = ngram_jaccard_pairs(cand, df, id_col, text_col, n=n, threshold=threshold)
+    return apply_dedup(df, verified, id_col)
+
+
 def embedding_dedup_pairs(
     emb: DataFrame, id_col: str, vec_col: str, threshold: float = 0.95,
     block_planes: int = 8,

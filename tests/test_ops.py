@@ -96,6 +96,34 @@ def test_simhash_multiprobe_full_recall(spark):
     assert prefix_split <= got
 
 
+def test_apply_dedup_transitive(spark):
+    """A~B and B~C must collapse to ONE kept row even when A~C was
+    never scored — the cluster step is connected components, not
+    per-pair keep-min."""
+    from shacl_spark.operators.dedup import apply_dedup
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "c"), (4, "d")], ["doc_id", "text"]
+    )
+    pairs = spark.createDataFrame([(1, 2), (2, 3)], ["id_a", "id_b"])
+    kept, dup_map = apply_dedup(df, pairs, "doc_id")
+    assert {r["doc_id"] for r in kept.collect()} == {1, 4}
+    assert {(r["id"], r["canonical"]) for r in dup_map.collect()} == {
+        ("2", "1"), ("3", "1"),
+    }
+
+
+def test_near_dedup_end_to_end(spark, docs):
+    """Full pipeline: docs 1 and 4 are identical, 2 is a near-dup of
+    both — one representative (min id) survives; 3 is unrelated."""
+    from shacl_spark.operators.dedup import near_dedup
+
+    kept, dup_map = near_dedup(docs, "doc_id", "text", threshold=0.8)
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3}
+    dropped = {r["id"] for r in dup_map.collect()}
+    assert dropped == {"2", "4"}
+
+
 def test_embedding_dedup_and_ann(spark):
     import math
 
