@@ -38,6 +38,33 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.table(f"{sf_dir}.{name}")
 
 
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_col: str,
+    n_buckets: int = 32,
+    sort_col: str | None = None,
+) -> None:
+    """Persist a frame as a BUCKETED managed table (r03): pre-shuffled
+    on ``bucket_col`` into ``n_buckets`` files per partition, so every
+    later equi-join or aggregation on that column is CO-LOCATED — zero
+    Exchange at read time.  This is the standing answer to "the triples
+    table is joined on subj by every validation run": pay the shuffle
+    ONCE at ingest, never again (SURVEY §4; at deployment scale the
+    same statement targets an Iceberg/warehouse catalog)."""
+    w = df.write.mode("overwrite").format("parquet").bucketBy(n_buckets, bucket_col)
+    if sort_col:
+        w = w.sortBy(sort_col)
+    w.saveAsTable(table)
+
+
+def read_bucketed(spark: SparkSession, table: str) -> DataFrame:
+    """Read a bucketed table; the bucket spec rides in the catalog, so
+    Catalyst drops the Exchange on joins/aggs keyed by the bucket
+    column automatically."""
+    return spark.read.table(table)
+
+
 def load_tables(spark: SparkSession, sf_dir: str, names=None) -> dict[str, DataFrame]:
     return {n: load_table(spark, sf_dir, n) for n in (names or TPCH_TABLES)}
 

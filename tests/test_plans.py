@@ -56,6 +56,33 @@ def test_semi_anti_join_shapes(spark, queries):
     assert "LeftAnti" in anti
 
 
+def test_join_variants_combo_physical_ops(spark, queries):
+    """The window-slot fold must still execute THREE distinct physical
+    join strategies — folding queries must never fold operators."""
+    plan = _plan(queries["join_variants"](spark, SF))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "LeftOuter" in plan
+
+
+def test_scalar_functions_single_codegen_projection(spark, queries):
+    """All three scalar families fold into one narrow codegen'd
+    projection over the scan — no shuffle, no Python."""
+    plan = _plan(queries["scalar_functions"](spark, SF))
+    assert plan.count("Exchange") == 0
+    assert "EvalPython" not in plan
+
+
+def test_ntriples_reader_plan(spark, tmp_path):
+    from shacl_spark.sources.ntriples import read_ntriples
+
+    p = tmp_path / "t.nt"
+    p.write_text("<ex:s> <ex:p> <ex:o> .\n")
+    plan = _plan(read_ntriples(spark, str(p)))
+    assert plan.count("Exchange") == 0
+    assert "EvalPython" not in plan
+
+
 def test_canonical_rewrite_broadcasts_component_map(spark):
     from shacl_spark.functions.terms import triples_from_rows
     from shacl_spark.kg.canon import rewrite_triples
@@ -69,6 +96,42 @@ def test_canonical_rewrite_broadcasts_component_map(spark):
     plan = _plan(rewrite_triples(triples, comp_map))
     assert plan.count("BroadcastHashJoin") >= 2  # subj + obj rewrite joins
     assert "SortMergeJoin" not in plan
+
+
+def test_bucketed_join_is_colocated(spark):
+    """Bucketed tables pay their shuffle ONCE at write: a self-join /
+    join between two tables bucketed on the same key must plan with
+    ZERO Exchange (the 100 TB triples-joined-on-subj lever)."""
+    from pyspark.sql import functions as F
+
+    from shacl_spark.sources.tables import read_bucketed, write_bucketed
+
+    a = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("v")
+    )
+    b = spark.range(0, 500).select(F.col("id"), (F.col("id") * 2).alias("w"))
+    write_bucketed(a, "bkt_a", "id", n_buckets=8)
+    write_bucketed(b, "bkt_b", "id", n_buckets=8)
+    # disable broadcast so the plan shows the bucket-driven strategy
+    # (at 100 TB neither side broadcasts — that is the regime bucketing
+    # is for; on toy tables the planner would just broadcast)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        ta, tb = read_bucketed(spark, "bkt_a"), read_bucketed(spark, "bkt_b")
+        joined = ta.join(tb, "id")
+        plan = _plan(joined)
+        assert "Bucketed: true" in plan, plan
+        assert "Exchange hashpartitioning" not in plan, plan
+        assert "SortMergeJoin" in plan
+        assert joined.count() == 500
+        # aggregation on the bucket key is exchange-free too
+        agg_plan = _plan(ta.groupBy("id").count())
+        assert "Exchange hashpartitioning" not in agg_plan, agg_plan
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS bkt_a")
+        spark.sql("DROP TABLE IF EXISTS bkt_b")
 
 
 def test_validation_plan_has_no_cartesian_product(spark):
