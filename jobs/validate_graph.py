@@ -42,6 +42,11 @@ def main(argv=None) -> int:
     p.add_argument("--shapes", required=True)
     p.add_argument("--report")
     p.add_argument("--report-triples", dest="report_triples")
+    # incremental revalidation: --changed (added+removed triple rows) +
+    # --prev-report (the previous run's --report output) revalidate only
+    # the affected focus nodes and merge (shacl/incremental.py)
+    p.add_argument("--changed")
+    p.add_argument("--prev-report", dest="prev_report")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -60,11 +65,24 @@ def main(argv=None) -> int:
         triples = read_ntriples(spark, args.data)
     else:
         triples = spark.read.parquet(args.data)
-    report = validate(spark, triples, _read_shapes_rows(spark, args.shapes))
-    by_comp = {
-        r["component"].split("#")[-1]: r["n"]
-        for r in summarize(report).collect()
-    }
+    if args.changed and args.prev_report:
+        from shacl_spark.shacl.incremental import incremental_revalidate
+
+        report = incremental_revalidate(
+            spark,
+            triples,
+            spark.read.parquet(args.changed),
+            _read_shapes_rows(spark, args.shapes),
+            spark.read.parquet(args.prev_report),
+        )
+    else:
+        report = validate(spark, triples, _read_shapes_rows(spark, args.shapes))
+    # summarize() groups by (component, severity, source_shape): SUM per
+    # component here — a dict comprehension would keep only the last row
+    by_comp: dict[str, int] = {}
+    for r in summarize(report).collect():
+        key = r["component"].split("#")[-1]
+        by_comp[key] = by_comp.get(key, 0) + r["n"]
     if args.report:
         report.write.mode("overwrite").parquet(args.report)
     if args.report_triples:

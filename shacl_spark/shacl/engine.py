@@ -92,6 +92,7 @@ class Validator:
         shapes: ShapesGraph,
         cache: bool = True,
         assume_distinct: bool = False,
+        only_nodes: DataFrame | None = None,
     ):
         """``cache=True`` persists each shape's focus and value-node
         frames (MEMORY_AND_DISK): every constraint of a shape branches
@@ -115,6 +116,11 @@ class Validator:
         )
         self.shapes = shapes
         self.cache = cache
+        # incremental revalidation (shacl/incremental.py): restrict every
+        # shape's focus set to these term keys.  Sound because results
+        # are node-local (SPEC §2.1.1) and the conformance memo handles
+        # partial coverage with delta evaluation.
+        self._only_nodes = only_nodes
         self._closure: DataFrame | None = None
         self._cached: list[DataFrame] = []
         # per-shape conformance memo: shape_iri → checkpointed
@@ -319,6 +325,8 @@ class Validator:
         )
         for shape in entries:
             nodes = focus_nodes(self.spark, shape, self.t, self.closure)
+            if self._only_nodes is not None:
+                nodes = nodes.join(self._only_nodes, "node", "left_semi")
             rep = self.evaluate(shape, nodes)
             seed = (
                 shape.iri not in self._conf_memo

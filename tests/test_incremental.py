@@ -1,0 +1,173 @@
+"""Incremental revalidation == full revalidation (shacl/incremental.py):
+scenario deltas and seeded-random deltas over a shapes graph exercising
+paths, class closures, pairs, counts, and sh:sparql."""
+
+from __future__ import annotations
+
+import random
+
+import pytest
+from pyspark.sql import functions as F
+
+from shacl_spark.functions.terms import RDF, RDFS, SH, XSD, triples_from_rows
+from shacl_spark.shacl import validate
+from shacl_spark.shacl.incremental import (
+    incremental_revalidate,
+    shapes_footprint,
+)
+from shacl_spark.shacl.parser import parse_shapes_graph
+
+T = RDF + "type"
+INT = XSD + "integer"
+STR = XSD + "string"
+
+SHAPES = [
+    ("ex:PS", T, SH + "NodeShape"),
+    ("ex:PS", SH + "targetClass", "ex:Person"),
+    ("ex:PS", SH + "property", "ex:PName"),
+    ("ex:PName", SH + "path", "ex:name"),
+    ("ex:PName", SH + "minCount", "1", "literal", INT),
+    ("ex:PS", SH + "property", "ex:PKnows"),
+    ("ex:PKnows", SH + "path", "ex:knows"),
+    ("ex:PKnows", SH + "class", "ex:Person"),
+    ("ex:PS", SH + "property", "ex:PStart"),
+    ("ex:PStart", SH + "path", "ex:start"),
+    ("ex:PStart", SH + "lessThan", "ex:end"),
+    ("ex:PS", SH + "property", "ex:PCity"),
+    ("ex:PCity", SH + "path", "ex:seq/0"),
+    ("ex:seq/0", RDF + "first", "ex:worksFor"),
+    ("ex:seq/0", RDF + "rest", "ex:seq/1"),
+    ("ex:seq/1", RDF + "first", "ex:locatedIn"),
+    ("ex:seq/1", RDF + "rest", RDF + "nil"),
+    ("ex:PCity", SH + "minCount", "1", "literal", INT),
+    ("ex:OS", T, SH + "NodeShape"),
+    ("ex:OS", SH + "targetSubjectsOf", "ex:locatedIn"),
+    ("ex:OS", SH + "sparql", "ex:SQ"),
+    ("ex:SQ", SH + "select",
+     "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+     "?this ex:locatedIn ?value . FILTER (isLiteral(?value)) }",
+     "literal", STR),
+]
+
+
+def _base_rows() -> list[tuple]:
+    rows = [("ex:Person", RDFS + "subClassOf", "ex:Agent")]
+    for i in range(8):
+        p = f"ex:p{i}"
+        rows.append((p, T, "ex:Person"))
+        if i != 3:
+            rows.append((p, "ex:name", f"N{i}", "literal", STR))
+        rows.append((p, "ex:knows", f"ex:p{(i + 1) % 8}"))
+        rows.append((p, "ex:start", str(i), "literal", INT))
+        rows.append((p, "ex:end", str(i + (5 if i % 2 else -1)), "literal", INT))
+        if i % 2:
+            rows.append((p, "ex:worksFor", f"ex:org{i % 3}"))
+    for k in range(3):
+        if k < 2:
+            rows.append((f"ex:org{k}", "ex:locatedIn", f"ex:city{k}"))
+    rows.append(("ex:rock", T, "ex:Thing"))
+    rows.append(("ex:p0", "ex:knows", "ex:rock"))
+    return rows
+
+
+def _canon(report) -> list[tuple]:
+    return sorted(
+        tuple("␀" if v is None else str(v) for v in r) for r in report.collect()
+    )
+
+
+def _check_equiv(spark, base_rows, new_rows, changed_rows):
+    base = triples_from_rows(spark, base_rows)
+    new = triples_from_rows(spark, new_rows)
+    changed = triples_from_rows(spark, changed_rows)
+    prev = validate(spark, base, SHAPES)
+    inc = incremental_revalidate(spark, new, changed, SHAPES, prev)
+    full = validate(spark, new, SHAPES)
+    assert _canon(inc) == _canon(full)
+
+
+def test_footprint_analysis():
+    fp = shapes_footprint(parse_shapes_graph(SHAPES))
+    assert "ex:name" in fp.preds and "ex:worksFor" in fp.preds
+    assert "ex:end" in fp.preds          # lessThan pair predicate
+    assert "ex:locatedIn" in fp.preds    # sequence path + sparql BGP
+    # rdf:type is deliberately NOT a hop edge (class nodes are hubs);
+    # a value's type change seeds the value and travels back through
+    # the path predicates instead
+    assert RDF + "type" not in fp.preds
+    assert fp.depth >= 2                 # the 2-hop sequence path
+    assert fp.subclass_sensitive
+    assert not fp.wildcard
+
+
+SCENARIOS = {
+    # a violating triple appears (p3 had no name; now p5 loses one... add new literal)
+    "add_violating_value": (
+        [], [("ex:p5", "ex:age", "x", "literal", INT)],
+    ),
+    # remove a name -> new MinCount violation
+    "remove_name": ([("ex:p2", "ex:name", "N2", "literal", STR)], []),
+    # add the missing name -> violation disappears
+    "fix_name": ([], [("ex:p3", "ex:name", "N3", "literal", STR)]),
+    # 2-hop effect: org gains a city -> sequence-path MinCount clears
+    # for every person working at that org
+    "org_gains_city": ([], [("ex:org2", "ex:locatedIn", "ex:cityX")]),
+    # rdf:type change on a VALUE: rock becomes a Person -> the sh:class
+    # violation on p0 disappears (1-hop inverse effect)
+    "value_gains_type": ([], [("ex:rock", T, "ex:Person")]),
+    # ontology edit -> full-revalidation escape hatch (still equivalent)
+    "subclass_edit": ([], [("ex:Employee", RDFS + "subClassOf", "ex:Person"),
+                           ("ex:e1", T, "ex:Employee")]),
+    # literal focus node via targetSubjectsOf's sparql (locatedIn literal)
+    "literal_located": ([], [("ex:org0", "ex:locatedIn", "downtown", "literal", STR)]),
+}
+
+
+@pytest.mark.parametrize("name", sorted(SCENARIOS))
+def test_scenario_equivalence(spark, name):
+    removed, added = SCENARIOS[name]
+    base = _base_rows()
+    new = [r for r in base if r not in removed] + added
+    _check_equiv(spark, base, new, removed + added)
+
+
+def test_random_delta_equivalence(spark):
+    """Seeded random add/remove deltas over the footprint vocabulary —
+    incremental must equal full revalidation every time."""
+    rng = random.Random(7)
+    preds = ["ex:name", "ex:knows", "ex:start", "ex:end", "ex:worksFor",
+             "ex:locatedIn", T]
+    for trial in range(5):
+        base = _base_rows()
+        removed = rng.sample(base[1:], 2)  # keep the subClassOf row
+        added = []
+        for _ in range(3):
+            p = rng.choice(preds)
+            s = f"ex:p{rng.randrange(10)}" if p != "ex:locatedIn" else f"ex:org{rng.randrange(4)}"
+            if p in ("ex:name",):
+                added.append((s, p, f"R{trial}", "literal", STR))
+            elif p in ("ex:start", "ex:end"):
+                added.append((s, p, str(rng.randrange(20)), "literal", INT))
+            elif p == T:
+                added.append((s, p, rng.choice(["ex:Person", "ex:Thing"])))
+            else:
+                added.append((s, p, f"ex:p{rng.randrange(10)}"))
+        new = [r for r in base if r not in removed] + added
+        _check_equiv(spark, base, new, removed + added)
+
+
+def test_untouched_rows_carry_over_without_recompute(spark):
+    """The merged report must KEEP prev rows for unaffected focus nodes
+    and the affected set must stay small for a local delta."""
+    from shacl_spark.shacl.incremental import affected_node_keys
+
+    base = triples_from_rows(spark, _base_rows())
+    changed = triples_from_rows(
+        spark, [("ex:p3", "ex:name", "N3", "literal", STR)]
+    )
+    fp = shapes_footprint(parse_shapes_graph(SHAPES))
+    aff = affected_node_keys(spark, base, changed, fp)
+    ids = {r["node"] for r in aff.collect()}
+    assert "ex:p3" in ids
+    # the delta is p3-local: bounded neighborhood, not the whole graph
+    assert len(ids) < 10
