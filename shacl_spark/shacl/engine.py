@@ -53,6 +53,20 @@ REPORT_SCHEMA = T.StructType(
     ]
 )
 
+# schema of validate()'s OUTPUT frame (decoded focus term + the report
+# columns) — consumers that persist/merge reports (incremental,
+# streaming validation) build empty frames from it
+REPORT_OUT_SCHEMA = T.StructType(
+    [
+        T.StructField("focus", T.StringType(), True),
+        T.StructField("focus_kind", T.StringType(), True),
+        T.StructField("focus_dt", T.StringType(), True),
+        T.StructField("focus_lang", T.StringType(), True),
+    ]
+    + [f for f in REPORT_SCHEMA.fields if f.name != "focus"]
+)
+
+
 def _path_kind(shape: Shape) -> str | None:
     """'iri' when the shape's path is a plain PredicatePath, 'literal'
     for composite paths (serialized descriptions), None for node

@@ -75,7 +75,10 @@ class TripleUpsertSink:
             out = out.withColumn("tid", triple_id()).dropDuplicates(["tid"]).drop("tid")
         return out
 
-    def _merge_batch(self, batch: DataFrame, epoch_id: int) -> None:
+    def _merge_batch(self, batch: DataFrame, epoch_id: int) -> DataFrame:
+        """Merge one micro-batch; returns the genuinely-NEW rows (the
+        applied delta, materialized) — streaming consumers like the
+        incremental validator key their work off it."""
         batch = (
             batch.withColumn("tid", triple_id())
             .dropDuplicates(["tid"])
@@ -94,12 +97,14 @@ class TripleUpsertSink:
                     .select("tid")
                 )
                 batch = batch.join(seen, "tid", "left_anti")
+        applied = batch.localCheckpoint(eager=True)
         (
-            batch.drop("tid")
+            applied.drop("tid")
             .write.mode("append")
             .partitionBy("part")
             .parquet(self.target_dir)
         )
+        return applied.drop("tid", "part")
 
     def start(self, stream: DataFrame, trigger_available_now: bool = True):
         writer = stream.writeStream.foreachBatch(self._merge_batch).outputMode("append")

@@ -1,0 +1,104 @@
+"""Continuous validation of a triple CDC stream: per-micro-batch
+upsert + incremental revalidation; the final report must equal a full
+batch validation of everything ingested, replays must be no-ops."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from shacl_spark.functions.terms import RDF, SH, TRIPLE_SCHEMA, XSD, triples_from_rows
+from shacl_spark.shacl import validate
+from shacl_spark.streaming.validate_stream import StreamingValidator
+
+T = RDF + "type"
+INT = XSD + "integer"
+STR = XSD + "string"
+
+SHAPES = [
+    ("ex:S", T, SH + "NodeShape"),
+    ("ex:S", SH + "targetClass", "ex:Person"),
+    ("ex:S", SH + "property", "ex:SP"),
+    ("ex:SP", SH + "path", "ex:name"),
+    ("ex:SP", SH + "minCount", "1", "literal", INT),
+    ("ex:S", SH + "property", "ex:SK"),
+    ("ex:SK", SH + "path", "ex:knows"),
+    ("ex:SK", SH + "class", "ex:Person"),
+]
+
+BATCH1 = [
+    ("ex:a", T, "ex:Person"),
+    ("ex:a", "ex:name", "A", "literal", STR),
+    ("ex:b", T, "ex:Person"),           # no name -> violation
+    ("ex:a", "ex:knows", "ex:rock"),    # untyped value -> violation
+]
+BATCH2 = [
+    ("ex:b", "ex:name", "B", "literal", STR),   # fixes b's MinCount
+    ("ex:rock", T, "ex:Person"),                # fixes a's sh:class
+    ("ex:c", T, "ex:Person"),                   # new violation (no name)
+]
+
+SIX = [f.name for f in TRIPLE_SCHEMA.fields]
+
+
+def _write_batch(spark, rows, stream_dir, name):
+    (
+        triples_from_rows(spark, rows)
+        .select(SIX)
+        .coalesce(1)
+        .write.mode("append")
+        .parquet(os.path.join(stream_dir, name))
+    )
+
+
+def _canon(report):
+    return sorted(
+        tuple("␀" if v is None else str(v) for v in r) for r in report.collect()
+    )
+
+
+def _run(spark, sv, stream_dir):
+    stream = (
+        spark.readStream.schema(TRIPLE_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(stream_dir, "*"))
+    )
+    q = sv.start(stream)
+    q.awaitTermination()
+
+
+def test_stream_validation_end_to_end(spark, tmp_path):
+    stream_dir = str(tmp_path / "in")
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "target"), str(tmp_path / "report"), n_parts=4
+    )
+    _write_batch(spark, BATCH1, stream_dir, "b1")
+    _write_batch(spark, BATCH2, stream_dir, "b2")
+    _run(spark, sv, stream_dir)
+
+    # one report version per non-empty micro-batch
+    assert len(sv._versions()) == 2
+    # the merged state equals everything ingested
+    assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
+    # the final report equals FULL validation of the union
+    full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2), SHAPES)
+    assert _canon(sv.current_report()) == _canon(full)
+    # content: batch2 fixed b's name and a's sh:class, and created two
+    # NEW MinCount violations — ex:c, and ex:rock which just became a
+    # Person (without a name)
+    focuses = {
+        (r["focus"], r["component"].split("#")[-1])
+        for r in sv.current_report().collect()
+    }
+    assert focuses == {
+        ("ex:c", "MinCountConstraintComponent"),
+        ("ex:rock", "MinCountConstraintComponent"),
+    }
+
+    # replaying the whole stream (no checkpoint -> everything re-reads)
+    # must be a NO-OP: the upsert anti-joins every row away, no new
+    # report version appears
+    _run(spark, sv, stream_dir)
+    assert len(sv._versions()) == 2
+    assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
