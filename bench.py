@@ -135,6 +135,33 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         out["canon_sec"] = round(time.time() - c0, 2)
         out["cc_iterations"] = cc_stats.get("iterations", 0)
         out["cc_frontier"] = cc_stats.get("frontier", [])
+        # incremental revalidation at CDC rates: +100 files over the
+        # 20k-file corpus — work must scale with |delta|, not |graph|
+        from pyspark.sql import functions as F
+
+        from shacl_spark.shacl import validate as _validate
+        from shacl_spark.shacl.incremental import incremental_revalidate
+
+        base = full.repartition(32).persist()
+        prev = _validate(spark, base, shapes, assume_distinct=True).localCheckpoint(
+            eager=True
+        )
+        grown = extract_triples(
+            synth_corpus(spark, n_files + 100, parts=128), n_parts=1024
+        )
+        file_idx = F.regexp_extract(F.col("src_path"), r"mod(\d+)\.", 1).cast("int")
+        delta = grown.where(file_idx >= n_files).repartition(4).persist()
+        n_delta = delta.count()
+        i0 = time.time()
+        inc = incremental_revalidate(
+            spark, base.unionByName(delta), delta, shapes, prev, assume_distinct=True
+        )
+        inc.count()
+        out["incremental_delta_triples"] = n_delta
+        out["incremental_validate_sec"] = round(time.time() - i0, 2)
+        base.unpersist()
+        delta.unpersist()
+
         # fixed-overhead amortization evidence (BENCH/BASELINE.md): the
         # same job at 10× input — throughput must rise superlinearly if
         # the 1×-corpus cost is scheduling overhead, not data work

@@ -340,7 +340,8 @@ class Validator:
         for shape in entries:
             nodes = focus_nodes(self.spark, shape, self.t, self.closure)
             if self._only_nodes is not None:
-                nodes = nodes.join(self._only_nodes, "node", "left_semi")
+                # the affected set is small by construction — broadcast
+                nodes = nodes.join(F.broadcast(self._only_nodes), "node", "left_semi")
             rep = self.evaluate(shape, nodes)
             seed = (
                 shape.iri not in self._conf_memo

@@ -88,16 +88,16 @@ def _check_equiv(spark, base_rows, new_rows, changed_rows):
 
 def test_footprint_analysis():
     fp = shapes_footprint(parse_shapes_graph(SHAPES))
-    assert "ex:name" in fp.preds and "ex:worksFor" in fp.preds
-    assert "ex:end" in fp.preds          # lessThan pair predicate
-    assert "ex:locatedIn" in fp.preds    # sequence path + sparql BGP
+    assert "ex:name" in fp.fwd_preds and "ex:worksFor" in fp.fwd_preds
+    assert "ex:end" in fp.fwd_preds          # lessThan pair predicate
+    assert "ex:locatedIn" in fp.fwd_preds    # sequence path + sparql BGP
     # rdf:type is deliberately NOT a hop edge (class nodes are hubs);
     # a value's type change seeds the value and travels back through
     # the path predicates instead
-    assert RDF + "type" not in fp.preds
+    assert RDF + "type" not in fp.fwd_preds | fp.inv_preds
     assert fp.depth >= 2                 # the 2-hop sequence path
     assert fp.subclass_sensitive
-    assert not fp.wildcard
+    assert not fp.inv_preds              # no inverse paths in SHAPES
 
 
 SCENARIOS = {
@@ -154,6 +154,34 @@ def test_random_delta_equivalence(spark):
                 added.append((s, p, f"ex:p{rng.randrange(10)}"))
         new = [r for r in base if r not in removed] + added
         _check_equiv(spark, base, new, removed + added)
+
+
+def test_inverse_path_direction(spark):
+    """Inverse-path dependency propagates subject→object: adding a
+    managerOf triple must revalidate its OBJECT (the employee focus),
+    and incremental equals full."""
+    shapes = [
+        ("ex:ES", T, SH + "NodeShape"),
+        ("ex:ES", SH + "targetClass", "ex:Emp"),
+        ("ex:ES", SH + "property", "ex:EP"),
+        ("ex:EP", SH + "path", "ex:invp"),
+        ("ex:invp", SH + "inversePath", "ex:managerOf"),
+        ("ex:EP", SH + "minCount", "1", "literal", INT),
+    ]
+    base = [
+        ("ex:e1", T, "ex:Emp"), ("ex:e2", T, "ex:Emp"),
+        ("ex:m1", "ex:managerOf", "ex:e1"),
+    ]
+    added = [("ex:m2", "ex:managerOf", "ex:e2")]
+    base_df = triples_from_rows(spark, base)
+    new_df = triples_from_rows(spark, base + added)
+    prev = validate(spark, base_df, shapes)
+    assert [r["focus"] for r in prev.collect()] == ["ex:e2"]
+    inc = incremental_revalidate(
+        spark, new_df, triples_from_rows(spark, added), shapes, prev
+    )
+    assert _canon(inc) == _canon(validate(spark, new_df, shapes))
+    assert inc.isEmpty()
 
 
 def test_untouched_rows_carry_over_without_recompute(spark):
