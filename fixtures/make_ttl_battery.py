@@ -467,6 +467,35 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Person ; sh:deactivated true ;
   sh:property [ sh:path ex:name ; sh:minCount 1 ] .
 """, [])
 
+case("39_implicit_class_target", """
+ex:ok a ex:PersonShape ; ex:name "fine" .
+ex:bad a ex:PersonShape .
+""", """
+ex:PersonShape a rdfs:Class, sh:NodeShape ;
+  sh:property [ sh:path ex:name ; sh:minCount 1 ] .
+""", [dict(focus="ex:bad", path="ex:name",
+           component="sh:MinCountConstraintComponent")])
+
+case("40_pattern_flags", """
+ex:a a ex:Code ; ex:tag "ABC" .
+ex:b a ex:Code ; ex:tag "abd" .
+""", """
+ex:S a sh:NodeShape ; sh:targetClass ex:Code ;
+  sh:property [ sh:path ex:tag ; sh:pattern "^abc$" ; sh:flags "i" ] .
+""", [dict(focus="ex:b", path="ex:tag", value='"abd"',
+           component="sh:PatternConstraintComponent")])
+
+case("41_or_of_property_shapes", """
+ex:alice a ex:Contact ; ex:phone "123" .
+ex:bob a ex:Contact ; ex:email "b@x.org" .
+ex:carl a ex:Contact ; ex:fax "456" .
+""", """
+ex:S a sh:NodeShape ; sh:targetClass ex:Contact ;
+  sh:or ( [ sh:property [ sh:path ex:phone ; sh:minCount 1 ] ]
+          [ sh:property [ sh:path ex:email ; sh:minCount 1 ] ] ) .
+""", [dict(focus="ex:carl", value="ex:carl",
+           component="sh:OrConstraintComponent")])
+
 
 def render_expected(results: list[dict]) -> str:
     if not results:
