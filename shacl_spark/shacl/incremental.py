@@ -175,7 +175,15 @@ def shapes_footprint(shapes: ShapesGraph) -> Footprint:
 
             q = parse_sparql(substitute_path(select_text, shape))
             pats = list(q.patterns) + [p for g in q.optionals for p in g]
-            fp.fwd_preds |= {p.p for p in pats}
+            # ADVICE r03 (high): a BGP chain can reach ?this in OBJECT
+            # position ('?x ex:a ?y . ?y ex:b ?this'), where dependency
+            # flows subject→object — forward-only preds would never
+            # reach the focus.  BGP patterns are not oriented relative
+            # to ?this here, so add every pattern predicate in BOTH
+            # directions (conservative).
+            bgp_preds = {p.p for p in pats}
+            fp.fwd_preds |= bgp_preds
+            fp.inv_preds |= bgp_preds
             own = max(own, len(pats))
         for ref in shape.referenced_shapes():
             own = max(own, p_len + depth_of(ref))
@@ -242,32 +250,60 @@ def affected_node_keys(
     # no O(|graph|) shuffle; only the frontier/acc (O(affected)) are
     # ever checkpointed
     dep = _dep_edges(triples, fp.fwd_preds, fp.inv_preds)
-    frontier, acc = ids, ids
-    for _ in range(fp.depth):
-        frontier = (
-            dep.join(F.broadcast(frontier), dep["a"] == frontier["id"])
+    has_rec = bool(fp.rec_fwd or fp.rec_inv)
+    rdep = _dep_edges(triples, fp.rec_fwd, fp.rec_inv) if has_rec else None
+
+    acc = ids
+
+    def _hop(edges: DataFrame, frontier: DataFrame) -> DataFrame:
+        return (
+            edges.join(F.broadcast(frontier), edges["a"] == frontier["id"])
             .select(F.col("b").alias("id"))
             .distinct()
             .join(acc, "id", "left_anti")
             .localCheckpoint(eager=True)
         )
-        if frontier.isEmpty():
-            break
-        acc = acc.unionByName(frontier).localCheckpoint(eager=True)
-    if fp.rec_fwd or fp.rec_inv:
-        rdep = _dep_edges(triples, fp.rec_fwd, fp.rec_inv)
-        frontier = acc
-        for _ in range(30):
-            frontier = (
-                rdep.join(F.broadcast(frontier), rdep["a"] == frontier["id"])
-                .select(F.col("b").alias("id"))
-                .distinct()
-                .join(acc, "id", "left_anti")
-                .localCheckpoint(eager=True)
-            )
+
+    def _union_all(frames: list[DataFrame]) -> DataFrame:
+        out = frames[0]
+        for f in frames[1:]:
+            out = out.unionByName(f)
+        return out
+
+    # ADVICE r03 (high): a non-recursive hop must be able to FOLLOW a
+    # fixpoint hop — for sh:path (ex:q [sh:zeroOrMorePath ex:p]) the
+    # backward walk is p-fixpoint THEN q, so a p-chain longer than the
+    # depth bound is only reached by the fixpoint and still needs the
+    # final q hop.  Alternate the depth-bounded loop and the recursive
+    # fixpoint until a full round adds nothing: nodes the fixpoint adds
+    # re-enter the depth loop (with the full depth budget — conservative)
+    # and nodes the depth loop adds re-enter the fixpoint.
+    depth_pending = ids  # nodes not yet depth-expanded
+    fix_pending = ids    # nodes not yet fixpoint-expanded (1st round: seeds;
+    #                      depth-loop additions are unioned in per round)
+    while True:
+        new_depth: list[DataFrame] = []
+        frontier = depth_pending
+        for _ in range(fp.depth):
+            frontier = _hop(dep, frontier)
             if frontier.isEmpty():
                 break
             acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+            new_depth.append(frontier)
+        if not has_rec:
+            break
+        new_fix: list[DataFrame] = []
+        frontier = _union_all([fix_pending, *new_depth])
+        while True:
+            frontier = _hop(rdep, frontier)
+            if frontier.isEmpty():
+                break
+            acc = acc.unionByName(frontier).localCheckpoint(eager=True)
+            new_fix.append(frontier)
+        if not new_fix:
+            break  # nothing for the depth loop to extend — converged
+        depth_pending = _union_all(new_fix).localCheckpoint(eager=True)
+        fix_pending = acc.limit(0)
 
     # every changed triple can also flip its OBJECT's target membership
     # (targetObjectsOf) or make it a new focus — include objects with

@@ -113,14 +113,21 @@ def read_ntriples(
     ``bad_lines='drop'`` (default) silently skips lines that are not
     comments/blank but fail the grammar; ``'keep'`` adds a
     ``_malformed`` string column (NULL for good rows) so a pipeline can
-    dead-letter them."""
+    dead-letter them.  On malformed rows the six triple columns are
+    NULL (ADVICE r03: regexp_extract on a non-matching line yields
+    ``''``, and a consumer that forgets to filter on ``_malformed``
+    must not inject empty-string triples into the graph)."""
     lines = spark.read.text(path)
     line = F.trim(F.col("value"))
     content = lines.where((line != "") & ~line.startswith("#"))
     is_good = line.rlike(_LINE)
     if bad_lines == "keep":
+        names = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
         return content.select(
-            *ntriples_columns(line),
+            *[
+                F.when(is_good, c).alias(n)
+                for c, n in zip(ntriples_columns(line), names)
+            ],
             F.when(~is_good, line).alias("_malformed"),
         ).where(is_good | F.col("_malformed").isNotNull())
     return content.where(is_good).select(*ntriples_columns(line))

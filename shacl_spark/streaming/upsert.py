@@ -75,10 +75,12 @@ class TripleUpsertSink:
             out = out.withColumn("tid", triple_id()).dropDuplicates(["tid"]).drop("tid")
         return out
 
-    def _merge_batch(self, batch: DataFrame, epoch_id: int) -> DataFrame:
-        """Merge one micro-batch; returns the genuinely-NEW rows (the
-        applied delta, materialized) — streaming consumers like the
-        incremental validator key their work off it."""
+    def _compute_delta(self, batch: DataFrame) -> DataFrame:
+        """The rows of ``batch`` genuinely absent from the target
+        (materialized; carries ``tid``/``part``) — the anti-join half
+        of the merge, split out so a consumer can durably record the
+        delta BEFORE the append (streaming/validate_stream.py's
+        crash-atomicity protocol)."""
         batch = (
             batch.withColumn("tid", triple_id())
             .dropDuplicates(["tid"])
@@ -97,13 +99,24 @@ class TripleUpsertSink:
                     .select("tid")
                 )
                 batch = batch.join(seen, "tid", "left_anti")
-        applied = batch.localCheckpoint(eager=True)
+        return batch.localCheckpoint(eager=True)
+
+    def _append(self, applied: DataFrame) -> None:
+        """Append a precomputed delta (from :meth:`_compute_delta`)
+        through the file-commit protocol."""
         (
             applied.drop("tid")
             .write.mode("append")
             .partitionBy("part")
             .parquet(self.target_dir)
         )
+
+    def _merge_batch(self, batch: DataFrame, epoch_id: int) -> DataFrame:
+        """Merge one micro-batch; returns the genuinely-NEW rows (the
+        applied delta, materialized) — streaming consumers like the
+        incremental validator key their work off it."""
+        applied = self._compute_delta(batch)
+        self._append(applied)
         return applied.drop("tid", "part")
 
     def start(self, stream: DataFrame, trigger_available_now: bool = True):

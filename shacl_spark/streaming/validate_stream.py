@@ -15,6 +15,22 @@ Each micro-batch:
    previous report and writing the next one never self-overwrites, and
    a crash mid-write leaves the previous version intact.
 
+Crash atomicity across the two writes (ADVICE r03, medium): the applied
+delta is journalled durably (``report_dir/_delta/epoch=<id>``) BEFORE
+the target append, and each report version carries an ``_epoch_<id>``
+marker naming the batch it incorporates.  An epoch replay then
+distinguishes the three crash windows:
+
+- no committed journal → normal path (recompute the delta; empty means
+  the epoch already fully applied or the batch is all-duplicate);
+- journal committed, marked report present → done, no-op;
+- journal committed, no marked report → the crash hit between the
+  journal write and the report write: finish the append (the anti-join
+  remainder is idempotent) and recompute the report from the JOURNAL's
+  delta over a defensively deduped target scan (a crash during job
+  commit can leave committed duplicate files — ``current(dedup=True)``
+  collapses them, so the recovery never validates a duplicated graph).
+
 Adds-only stream (the upsert target is append-only); on a
 Delta/Iceberg cluster the same loop runs against MERGE + snapshot
 reads.
@@ -23,9 +39,11 @@ reads.
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession
 
+from shacl_spark.functions.terms import TRIPLE_SCHEMA
 from shacl_spark.shacl.engine import REPORT_OUT_SCHEMA
 from shacl_spark.shacl.incremental import incremental_revalidate
 from shacl_spark.shacl.parser import parse_shapes_graph
@@ -60,6 +78,10 @@ class StreamingValidator:
             int(d.split("=", 1)[1])
             for d in os.listdir(self.report_dir)
             if d.startswith("v=")
+            # a version is only real once its parquet job committed — a
+            # crash mid-write leaves a directory without _SUCCESS and
+            # the previous version stays current
+            and os.path.isfile(os.path.join(self.report_dir, d, "_SUCCESS"))
         )
 
     def current_report(self) -> DataFrame:
@@ -72,11 +94,64 @@ class StreamingValidator:
 
     # --- the per-batch loop -------------------------------------------------------
 
+    def _delta_dir(self, epoch_id: int) -> str:
+        return os.path.join(self.report_dir, "_delta", f"epoch={epoch_id}")
+
+    def _journal_committed(self, epoch_id: int) -> bool:
+        return os.path.isfile(os.path.join(self._delta_dir(epoch_id), "_SUCCESS"))
+
+    def _report_marks_epoch(self, epoch_id: int) -> bool:
+        return any(
+            os.path.isfile(
+                os.path.join(self.report_dir, f"v={v}", f"_epoch_{epoch_id}")
+            )
+            for v in self._versions()
+        )
+
+    def _write_report(self, report: DataFrame, epoch_id: int) -> None:
+        nxt = (self._versions() or [0])[-1] + 1
+        vdir = os.path.join(self.report_dir, f"v={nxt}")
+        report.write.mode("overwrite").parquet(vdir)
+        # marker AFTER the parquet commit: a crash in between just makes
+        # the next replay recompute into v=n+1 (wasted work, not a gap)
+        open(os.path.join(vdir, f"_epoch_{epoch_id}"), "w").close()
+        # the journal has served its purpose; without it a replay takes
+        # the normal path, recomputes an empty delta, and no-ops
+        shutil.rmtree(self._delta_dir(epoch_id), ignore_errors=True)
+
     def _on_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        delta = self.sink._merge_batch(batch, epoch_id)
-        if delta.isEmpty():
-            return  # epoch replay or fully-duplicate batch: report stands
-        prev = self.current_report()
+        if self._journal_committed(epoch_id):
+            if self._report_marks_epoch(epoch_id):
+                return  # target + report both committed for this epoch
+            # crash landed between the journal write and the report
+            # write: the journalled delta is authoritative
+            delta = self.spark.read.schema(TRIPLE_SCHEMA).parquet(
+                self._delta_dir(epoch_id)
+            )
+            remainder = self.sink._compute_delta(delta)
+            if not remainder.isEmpty():
+                self.sink._append(remainder)
+            report = incremental_revalidate(
+                self.spark,
+                # a crash during the append's job commit can leave
+                # committed duplicates — collapse them before validating
+                self.sink.current(dedup=True),
+                delta,
+                self.shapes,
+                self.current_report(),
+                assume_distinct=True,
+            )
+            self._write_report(report, epoch_id)
+            return
+        applied = self.sink._compute_delta(batch)
+        if applied.isEmpty():
+            return  # fully-duplicate batch (or completed epoch whose
+            #         journal was already pruned): report stands
+        delta = applied.drop("tid", "part")
+        # durable journal FIRST: if the process dies after the target
+        # append below, the replay still knows exactly what was applied
+        delta.write.mode("overwrite").parquet(self._delta_dir(epoch_id))
+        self.sink._append(applied)
         report = incremental_revalidate(
             self.spark,
             # the upsert target is append-only and per-batch deduped on
@@ -84,13 +159,10 @@ class StreamingValidator:
             self.sink.current(dedup=False),
             delta,
             self.shapes,
-            prev,
+            self.current_report(),
             assume_distinct=True,
         )
-        nxt = (self._versions() or [0])[-1] + 1
-        report.write.mode("overwrite").parquet(
-            os.path.join(self.report_dir, f"v={nxt}")
-        )
+        self._write_report(report, epoch_id)
 
     def start(self, stream: DataFrame, trigger_available_now: bool = True):
         """Attach to a streaming triple frame (canonical 6-column

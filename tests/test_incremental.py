@@ -97,7 +97,9 @@ def test_footprint_analysis():
     assert RDF + "type" not in fp.fwd_preds | fp.inv_preds
     assert fp.depth >= 2                 # the 2-hop sequence path
     assert fp.subclass_sensitive
-    assert not fp.inv_preds              # no inverse paths in SHAPES
+    # no inverse PATHS in SHAPES, but sh:sparql BGP predicates go in
+    # BOTH directions (patterns can reach ?this in object position)
+    assert fp.inv_preds == {"ex:locatedIn"}
 
 
 SCENARIOS = {
@@ -199,3 +201,68 @@ def test_untouched_rows_carry_over_without_recompute(spark):
     assert "ex:p3" in ids
     # the delta is p3-local: bounded neighborhood, not the whole graph
     assert len(ids) < 10
+
+def test_fixpoint_then_hop_sequence_path(spark):
+    """ADVICE r03 (high): for sh:path (ex:q [sh:zeroOrMorePath ex:p])
+    the backward dependency walk is p-fixpoint THEN the final q hop —
+    a p-chain longer than the depth bound is only reached by the
+    fixpoint, and the non-recursive q hop must still run afterwards."""
+    shapes = [
+        ("ex:CS", T, SH + "NodeShape"),
+        ("ex:CS", SH + "targetClass", "ex:Head"),
+        ("ex:CS", SH + "property", "ex:CP"),
+        ("ex:CP", SH + "path", "ex:cseq/0"),
+        ("ex:cseq/0", RDF + "first", "ex:q"),
+        ("ex:cseq/0", RDF + "rest", "ex:cseq/1"),
+        ("ex:cseq/1", RDF + "first", "ex:cstar"),
+        ("ex:cseq/1", RDF + "rest", RDF + "nil"),
+        ("ex:cstar", SH + "zeroOrMorePath", "ex:p"),
+        ("ex:CP", SH + "class", "ex:Ok"),
+    ]
+    K = 6  # chain length > footprint depth (2)
+    base = [("ex:f", T, "ex:Head"), ("ex:f", "ex:q", "ex:n0")]
+    for i in range(K):
+        base.append((f"ex:n{i}", "ex:p", f"ex:n{i + 1}"))
+    for i in range(K):  # n0..n{K-1} typed Ok; the chain END is not
+        base.append((f"ex:n{i}", T, "ex:Ok"))
+    added = [(f"ex:n{K}", T, "ex:Ok")]  # fixes the violation at ex:f
+
+    base_df = triples_from_rows(spark, base)
+    new_df = triples_from_rows(spark, base + added)
+    prev = validate(spark, base_df, shapes)
+    assert {r["focus"] for r in prev.collect()} == {"ex:f"}
+    inc = incremental_revalidate(
+        spark, new_df, triples_from_rows(spark, added), shapes, prev
+    )
+    assert _canon(inc) == _canon(validate(spark, new_df, shapes))
+    assert inc.isEmpty()  # the stale ex:f row must NOT carry over
+
+
+def test_sparql_bgp_reaches_this_in_object_position(spark):
+    """ADVICE r03 (high): a sh:sparql BGP chain can bind ?this in
+    OBJECT position ('?x ex:a ?y . ?y ex:b ?this'); dependency there
+    flows subject→object, so BGP predicates must propagate in both
+    directions or the focus two hops downstream is never reached."""
+    shapes = [
+        ("ex:QS", T, SH + "NodeShape"),
+        ("ex:QS", SH + "targetClass", "ex:Gate"),
+        ("ex:QS", SH + "sparql", "ex:QQ"),
+        ("ex:QQ", SH + "select",
+         "PREFIX ex: <ex:> SELECT ?this WHERE { "
+         "?x ex:a ?y . ?y ex:b ?this }",
+         "literal", STR),
+    ]
+    base = [("ex:g", T, "ex:Gate"), ("ex:y1", "ex:b", "ex:g")]
+    # the changed triple is TWO dependency hops from the focus ex:g
+    added = [("ex:x1", "ex:a", "ex:y1")]
+
+    base_df = triples_from_rows(spark, base)
+    new_df = triples_from_rows(spark, base + added)
+    prev = validate(spark, base_df, shapes)
+    assert prev.isEmpty()
+    inc = incremental_revalidate(
+        spark, new_df, triples_from_rows(spark, added), shapes, prev
+    )
+    full = validate(spark, new_df, shapes)
+    assert {r["focus"] for r in full.collect()} == {"ex:g"}
+    assert _canon(inc) == _canon(full)  # the NEW violation must appear

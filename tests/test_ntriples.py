@@ -76,6 +76,10 @@ def test_bad_lines_policy(spark, tmp_path):
     kept = read_ntriples(spark, path, bad_lines="keep")
     bad = kept.where(kept["_malformed"].isNotNull()).collect()
     assert len(bad) == 1 and bad[0]["_malformed"] == "this is not a triple"
+    # ADVICE r03: malformed rows must carry NULL triple columns, not
+    # the '' that regexp_extract yields on a non-matching line
+    assert all(bad[0][c] is None for c in
+               ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"])
 
 
 def test_validate_over_nt(spark, tmp_path):

@@ -102,3 +102,59 @@ def test_stream_validation_end_to_end(spark, tmp_path):
     _run(spark, sv, stream_dir)
     assert len(sv._versions()) == 2
     assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
+
+
+def _batch_df(spark, rows):
+    return triples_from_rows(spark, rows).select(SIX)
+
+
+def test_crash_between_append_and_report(spark, tmp_path):
+    """ADVICE r03 (medium): a crash AFTER the target append but BEFORE
+    the report write must not leave the report permanently stale — the
+    journalled delta lets the epoch replay recompute it."""
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "t"), str(tmp_path / "r"), n_parts=4
+    )
+    sv._on_batch(_batch_df(spark, BATCH1), 0)
+    assert len(sv._versions()) == 1
+
+    # simulate epoch 1 crashing between the two writes: journal + append
+    # happen, the report write does not
+    b2 = _batch_df(spark, BATCH2)
+    applied = sv.sink._compute_delta(b2)
+    applied.drop("tid", "part").write.mode("overwrite").parquet(sv._delta_dir(1))
+    sv.sink._append(applied)
+    assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
+    assert len(sv._versions()) == 1  # report is behind the target
+
+    # replay of epoch 1: were the delta recomputed from the target it
+    # would be EMPTY (rows already applied) and the report would stay
+    # stale forever; the journal recovery recomputes it instead
+    sv._on_batch(b2, 1)
+    full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2), SHAPES)
+    assert _canon(sv.current_report()) == _canon(full)
+
+    # a second replay is a no-op (journal pruned, delta empty)
+    n = len(sv._versions())
+    sv._on_batch(b2, 1)
+    assert len(sv._versions()) == n
+
+
+def test_crash_between_journal_and_append(spark, tmp_path):
+    """Crash after the journal write but BEFORE the target append: the
+    replay must finish the append (idempotent remainder) and produce
+    the same report as an uninterrupted run."""
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "t"), str(tmp_path / "r"), n_parts=4
+    )
+    sv._on_batch(_batch_df(spark, BATCH1), 0)
+
+    b2 = _batch_df(spark, BATCH2)
+    applied = sv.sink._compute_delta(b2)
+    applied.drop("tid", "part").write.mode("overwrite").parquet(sv._delta_dir(1))
+    # crash: no append, no report
+
+    sv._on_batch(b2, 1)
+    assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
+    full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2), SHAPES)
+    assert _canon(sv.current_report()) == _canon(full)
