@@ -23,11 +23,19 @@ def normalized(name: Column) -> Column:
 
 
 def shingles(norm: Column, k: int = 3) -> Column:
-    """Character k-shingles as array<string> (JVM-side via transform)."""
-    padded = F.rpad(norm, k, "_")  # short names still get one shingle
+    """Character k-shingles as array<string> (JVM-side via transform).
+
+    Names shorter than ``k`` are padded with ``_`` so they still get
+    one shingle (mirrors link.py's ``_shingle_set`` ljust).  NOTE:
+    Spark's ``rpad(s, k, p)`` TRUNCATES strings longer than ``k`` —
+    padding must be conditional (r04 bug: unconditional rpad collapsed
+    EVERY name to its first trigram, which degraded LSH to
+    first-3-chars blocking and, past ``max_bucket`` distinct names,
+    capped every bucket and returned an empty candidate graph)."""
+    padded = F.when(F.length(norm) < k, F.rpad(norm, k, "_")).otherwise(norm)
     return F.array_distinct(
         F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(padded) - (k - 1), F.lit(1))),
+            F.sequence(F.lit(1), F.length(padded) - (k - 1)),
             lambda i: padded.substr(i, F.lit(k)),
         )
     )

@@ -73,3 +73,38 @@ def test_link_to_dictionary(spark):
     assert links["m1"] == "kg:canon/HttpClient"
     assert links["m2"] == "kg:canon/JsonParser"
     assert "m3" not in links
+
+
+def test_shingles_full_length_not_truncated(spark):
+    """r04 regression: Spark rpad TRUNCATES past-k strings, so the old
+    unconditional pad collapsed every name to its first trigram —
+    which silently degraded LSH to first-3-chars blocking and, past
+    max_bucket distinct names, capped every bucket (empty candidate
+    graph).  A k-shingle set of an n-char name must have up to n-k+1
+    members, and short names still pad to one shingle."""
+    from shacl_spark.kg.minhash import normalized, shingles
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("widgetaaamaker",), ("ab",), ("xyz",)], ["name"]
+    ).select(shingles(normalized(F.col("name"))).alias("sh"))
+    got = {tuple(r["sh"]) for r in df.collect()}
+    full = tuple(
+        "widgetaaamaker"[i : i + 3] for i in range(len("widgetaaamaker") - 2)
+    )
+    assert tuple(dict.fromkeys(full)) in got          # all 12 shingles
+    assert ("ab_",) in got and ("xyz",) in got        # short-name pad
+
+
+def test_candidate_pairs_beyond_bucket_cap(spark):
+    """With >max_bucket distinct names, near-dup pairs must STILL
+    surface (the truncation bug made every band bucket identical and
+    the cap dropped them all)."""
+    from shacl_spark.kg.minhash import candidate_pairs
+
+    rows = [(f"id:{i:03d}", f"common{i}suffix") for i in range(100)]
+    rows += [("id:dupA", "WidgetFooMaker"), ("id:dupB", "widget_foo_maker")]
+    names = spark.createDataFrame(rows, ["id", "name"])
+    pairs = candidate_pairs(names, max_bucket=64)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("id:dupA", "id:dupB") in got

@@ -39,8 +39,9 @@ def test_driver_window_composition():
     assert set(shacl) <= set(window), sorted(set(shacl) - set(window))
     assert "kg_extract_documents" in window
     assert set(entrymod._PRIORITY_BASE) <= set(window)
-    rows_only_by_design = {"dedup_minhash_lsh", "ann_lsh_topk"}
-    missing = [n for n in window if n not in ORACLES and n not in rows_only_by_design]
+    # r04: no rows-only entries left in the window — ann_lsh_topk got a
+    # plane-literal oracle and dedup_clusters replaced dedup_minhash_lsh
+    missing = [n for n in window if n not in ORACLES]
     assert not missing, f"in-window queries without an oracle: {missing}"
 
 
