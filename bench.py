@@ -125,14 +125,24 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         from shacl_spark.kg.canon import canonicalize
 
         cc_stats: dict = {}
-        c0 = time.time()
-        # same input sizing as the validate block: 1024 extraction
+        # same warm-run discipline as the validate block: the first
+        # canonicalize pays one-off python-worker spin-up for the
+        # minhash/scorer pandas UDFs plus the input checkpoint, and a
+        # single capture on this VM is exposed to ±50% steal spikes —
+        # warm once, then best-of-N is the steady-state number
+        # (BENCH/BASELINE.md).  Input sizing: 1024 extraction
         # partitions → ~500 rows/task starves every stage on per-task
-        # overhead at this corpus size
-        out["canon_triples"] = canonicalize(
-            full.repartition(32), cc_stats=cc_stats
-        ).count()
-        out["canon_sec"] = round(time.time() - c0, 2)
+        # overhead at this corpus size, hence repartition(32).
+        canonicalize(full.repartition(32), cc_stats=cc_stats).count()  # warm
+        times_c = []
+        for _ in range(max(n_runs, 3)):
+            c0 = time.time()
+            out["canon_triples"] = canonicalize(
+                full.repartition(32), cc_stats=cc_stats
+            ).count()
+            times_c.append(time.time() - c0)
+        out["canon_sec"] = round(min(times_c), 2)
+        out["canon_runs"] = [round(t, 2) for t in times_c]
         out["cc_iterations"] = cc_stats.get("iterations", 0)
         out["cc_frontier"] = cc_stats.get("frontier", [])
         # incremental revalidation at CDC rates: +100 files over the

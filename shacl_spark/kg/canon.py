@@ -25,11 +25,12 @@ def entity_name_frame(triples: DataFrame) -> DataFrame:
     named = triples.where(F.col("pred") == KG + "name").select(
         F.col("subj").alias("id"), F.col("obj").alias("name")
     )
-    mentions = (
-        triples.where(F.col("obj").startswith(KG + "mention/"))
-        .select(F.col("obj").alias("id"))
-        .distinct()
-        .withColumn("name", F.substring_index(F.col("id"), "/", -1))
+    # no inner .distinct() on mentions: the final dropDuplicates(["id"])
+    # already dedups, and the extra shuffle of the (large) mention set
+    # cost ~1 s/pass at the bench corpus for nothing (r04)
+    mentions = triples.where(F.col("obj").startswith(KG + "mention/")).select(
+        F.col("obj").alias("id"),
+        F.substring_index(F.col("obj"), "/", -1).alias("name"),
     )
     return named.unionByName(mentions).dropDuplicates(["id"])
 
@@ -58,7 +59,12 @@ def build_component_map(
     problem ("HttpClient" vs "HTTPClient") is a property of names, not
     of their occurrences, and the distinct-name frame is orders of
     magnitude smaller."""
-    names = entity_name_frame(triples)
+    # the name frame feeds three consumers (reps, the LSH pipeline via
+    # distinct names, and the final member-glue join); checkpoint it
+    # once — it is O(entities), tiny next to the triple set, and
+    # without this every downstream action recomputes the full triple
+    # scan + distinct (measured ~5 s/pass at the 20k-file bench corpus)
+    names = entity_name_frame(triples).localCheckpoint(eager=True)
     reps = names.groupBy("name").agg(F.min("id").alias("rep"))
     distinct_names = reps.select(F.col("rep").alias("id"), "name")
     pairs = candidate_pairs(
@@ -131,8 +137,20 @@ def rewrite_triples(
 
 
 def canonicalize(
-    triples: DataFrame, threshold: float = 0.75, cc_stats: dict | None = None
+    triples: DataFrame,
+    threshold: float = 0.75,
+    cc_stats: dict | None = None,
+    checkpoint_input: bool = True,
 ) -> DataFrame:
-    """Full A7–A12: link, resolve, rewrite, dedup."""
+    """Full A7–A12: link, resolve, rewrite, dedup.
+
+    ``checkpoint_input=True`` (default) materializes the triple frame
+    once before the two passes over it (entity names, rewrite) — right
+    when the input is a computed lineage like a fresh extraction, whose
+    re-run would dominate.  Pass False at deployment scale when the
+    input is already columnar storage: rescanning parquet beats
+    materializing 100 TB to executor memory."""
+    if checkpoint_input:
+        triples = triples.localCheckpoint(eager=True)
     comp_map = build_component_map(triples, threshold=threshold, cc_stats=cc_stats)
     return rewrite_triples(triples, comp_map)

@@ -166,6 +166,8 @@ def candidate_pairs(
     upstream (callers should log it — no silent truncation at scale,
     SURVEY.md §7 Stage 4).
     """
+    from pyspark.sql import Window as W
+
     rows = n_hashes // bands
     sig = (
         names.select(
@@ -179,14 +181,21 @@ def candidate_pairs(
             F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias("band_id", "band_hash"),
         )
     )
-    # drop degenerate buckets before the self-join (quadratic blowup guard)
-    small_buckets = (
-        sig.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("bn"))
+    # drop degenerate buckets before the self-join (quadratic blowup
+    # guard).  A window count over the SAME keys replaces the old
+    # groupBy + semi-join (one shuffle instead of two over the exploded
+    # frame), and the eager checkpoint (a) runs the pandas-UDF minhash
+    # ONCE instead of once per self-join side and (b) leaves the frame
+    # hash-partitioned on (band_id, band_hash), which is exactly the
+    # self-join key — no further exchange (r04 perf pass).
+    sig = (
+        sig.withColumn(
+            "bn", F.count("*").over(W.partitionBy("band_id", "band_hash"))
+        )
         .where(F.col("bn") <= max_bucket)
         .drop("bn")
+        .localCheckpoint(eager=True)
     )
-    sig = sig.join(small_buckets, ["band_id", "band_hash"], "left_semi")
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
