@@ -42,6 +42,9 @@ def main(argv=None) -> int:
     p.add_argument("--shapes", required=True)
     p.add_argument("--report")
     p.add_argument("--report-triples", dest="report_triples")
+    # serialize the report-results graph as N-Triples TEXT (r04): the
+    # interchange loop closes — any standard RDF tool consumes it
+    p.add_argument("--report-nt", dest="report_nt")
     # incremental revalidation: --changed (added+removed triple rows) +
     # --prev-report (the previous run's --report output) revalidate only
     # the affected focus nodes and merge (shacl/incremental.py)
@@ -89,6 +92,11 @@ def main(argv=None) -> int:
         from shacl_spark.shacl.report import report_to_triples
 
         report_to_triples(report).write.mode("overwrite").parquet(args.report_triples)
+    if args.report_nt:
+        from shacl_spark.shacl.report import report_to_triples
+        from shacl_spark.sources.ntriples import write_ntriples
+
+        write_ntriples(report_to_triples(report), args.report_nt)
     print(json.dumps({"conforms": not by_comp, "violations_by_component": by_comp}))
     return 0
 

@@ -131,3 +131,60 @@ def read_ntriples(
             F.when(~is_good, line).alias("_malformed"),
         ).where(is_good | F.col("_malformed").isNotNull())
     return content.where(is_good).select(*ntriples_columns(line))
+
+
+# --- writer (VERDICT r03 "What's missing" #3) ---------------------------------
+
+
+def _escape(col: Column) -> Column:
+    """Inverse of :func:`_unescape`: emit the five standard N-Triples
+    string escapes (backslash FIRST, or the added backslashes would be
+    re-escaped)."""
+    c = F.regexp_replace(col, r"\\", r"\\\\")
+    c = F.regexp_replace(c, "\n", r"\\n")
+    c = F.regexp_replace(c, "\r", r"\\r")
+    c = F.regexp_replace(c, "\t", r"\\t")
+    return F.regexp_replace(c, '"', r'\\"')
+
+
+def ntriples_line(
+    subj: Column, pred: Column, obj: Column,
+    obj_kind: Column, obj_dt: Column, obj_lang: Column,
+) -> Column:
+    """One N-Triples line from the engine's six triple columns — a pure
+    Column expression (codegen'd, shuffle-free).  Serialization normal
+    form mirrors the reader's parse normal form so write→read is an
+    exact round-trip: plain ``xsd:string`` literals carry no suffix,
+    language literals emit ``@tag`` (``rdf:langString`` is implied),
+    any other datatype emits ``^^<dt>``."""
+    s_term = F.when(subj.startswith("_:"), subj).otherwise(
+        F.concat(F.lit("<"), subj, F.lit(">"))
+    )
+    p_term = F.concat(F.lit("<"), pred, F.lit(">"))
+    lit_suffix = (
+        F.when(obj_lang.isNotNull(), F.concat(F.lit("@"), obj_lang))
+        .when(
+            obj_dt.isNotNull() & (obj_dt != XSD + "string"),
+            F.concat(F.lit("^^<"), obj_dt, F.lit(">")),
+        )
+        .otherwise(F.lit(""))
+    )
+    o_term = (
+        F.when(obj_kind == "iri", F.concat(F.lit("<"), obj, F.lit(">")))
+        .when(obj_kind == "bnode", obj)
+        .otherwise(F.concat(F.lit('"'), _escape(obj), F.lit('"'), lit_suffix))
+    )
+    return F.concat_ws(" ", s_term, p_term, o_term, F.lit("."))
+
+
+def write_ntriples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+    """Serialize a triple frame (engine 6-column shape; extra columns
+    ignored) to N-Triples text at ``path`` — one codegen'd projection +
+    ``write.text``, splittable and parallel like the reader, so any
+    standard RDF tool can consume validation reports or graphs the
+    engine produces."""
+    line = ntriples_line(
+        F.col("subj"), F.col("pred"), F.col("obj"),
+        F.col("obj_kind"), F.col("obj_dt"), F.col("obj_lang"),
+    )
+    df.select(line.alias("value")).write.mode(mode).text(path)

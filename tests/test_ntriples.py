@@ -207,3 +207,79 @@ def test_million_line_plan_and_count(spark):
     assert df.count() == 1_000_000
     # and it feeds grouped work without reparse weirdness
     assert df.groupBy("pred").count().count() == 7
+
+
+def test_writer_roundtrip_exact(spark, tmp_path):
+    """write_ntriples → read_ntriples must reproduce the input frame
+    EXACTLY (engine normal form both ways), across IRIs, bnodes, plain /
+    typed / language literals, and all five string escapes."""
+    from shacl_spark.functions.terms import RDF, XSD
+    from shacl_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    STR = XSD + "string"
+    rows = [
+        ("ex:s", "ex:p", "ex:o", "iri", None, None),
+        ("_:b1", "ex:p", "_:b2", "bnode", None, None),
+        ("ex:s", "ex:p", "plain", "literal", STR, None),
+        ("ex:s", "ex:p", "42", "literal", XSD + "integer", None),
+        ("ex:s", "ex:p", "bonjour", "literal", RDF + "langString", "fr"),
+        ("ex:s", "ex:p", 'quo"te \\ back\nnew\ttab\rret', "literal", STR, None),
+        ("ex:s", "ex:p", 'ends with backslash\\', "literal", STR, None),
+        ("ex:s", "ex:p", "", "literal", STR, None),  # empty literal
+    ]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, obj_dt string, obj_lang string"
+    )
+    out = str(tmp_path / "out.nt")
+    write_ntriples(df, out)
+    back = read_ntriples(spark, out)
+    canon = lambda d: sorted(  # noqa: E731
+        tuple("␀" if v is None else v for v in r) for r in d.collect()
+    )
+    assert canon(back) == canon(df)
+    # and every emitted line parses (no silent drops)
+    assert back.count() == len(rows)
+
+
+def test_report_nt_cli_flag(spark, tmp_path):
+    """--report-nt writes a results graph any NT parser reads back to
+    the same frame as report_to_triples."""
+    import json
+    import subprocess
+    import sys as _sys
+
+    from shacl_spark.functions.terms import RDF, SH, XSD, triples_from_rows
+    from shacl_spark.shacl import validate
+    from shacl_spark.shacl.report import report_to_triples
+    from shacl_spark.sources.ntriples import read_ntriples
+
+    T = RDF + "type"
+    shapes = [
+        ("ex:S", T, SH + "NodeShape"),
+        ("ex:S", SH + "targetClass", "ex:P"),
+        ("ex:S", SH + "property", "ex:SP"),
+        ("ex:SP", SH + "path", "ex:name"),
+        ("ex:SP", SH + "minCount", "1", "literal", XSD + "integer"),
+    ]
+    data = [("ex:a", T, "ex:P"), ("ex:b", T, "ex:P"),
+            ("ex:b", "ex:name", "B", "literal", XSD + "string")]
+    d = tmp_path
+    triples_from_rows(spark, data).write.parquet(str(d / "data"))
+    triples_from_rows(spark, shapes).write.parquet(str(d / "shapes"))
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [_sys.executable, "jobs/validate_graph.py", "--data", str(d / "data"),
+         "--shapes", str(d / "shapes"), "--report-nt", str(d / "rep.nt"),
+         "--master", "local[4]"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    line = [l for l in res.stdout.splitlines() if l.startswith("{")][-1]
+    assert json.loads(line)["conforms"] is False
+    back = read_ntriples(spark, str(d / "rep.nt"))
+    expect = report_to_triples(
+        validate(spark, triples_from_rows(spark, data), shapes)
+    ).select("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang")
+    canon = lambda df: sorted(  # noqa: E731
+        tuple("␀" if v is None else v for v in r) for r in df.collect()
+    )
+    assert canon(back) == canon(expect)
