@@ -169,6 +169,32 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         inc.count()
         out["incremental_delta_triples"] = n_delta
         out["incremental_validate_sec"] = round(time.time() - i0, 2)
+
+        # continuous stream validation (VERDICT r03 next-round #7): the
+        # real StreamingValidator loop — per-micro-batch upsert +
+        # incremental revalidate + versioned report write — fed the
+        # same +100-file delta as a micro-batch over the 20k-file
+        # target.  Records the end-to-end per-batch latency a CDC
+        # deployment would see.
+        import shutil
+        import tempfile
+
+        from shacl_spark.streaming.validate_stream import StreamingValidator
+
+        sdir = tempfile.mkdtemp(prefix="bench_stream_", dir="/dev/shm")
+        try:
+            sv = StreamingValidator(
+                spark, shapes, os.path.join(sdir, "t"), os.path.join(sdir, "r"),
+                n_parts=32,
+            )
+            six = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+            sv._on_batch(base.select(six), 0)  # seed the target (epoch 0)
+            s0 = time.time()
+            sv._on_batch(delta.select(six), 1)
+            out["stream_validate_batch_sec"] = round(time.time() - s0, 2)
+            out["stream_report_rows"] = sv.current_report().count()
+        finally:
+            shutil.rmtree(sdir, ignore_errors=True)
         base.unpersist()
         delta.unpersist()
 

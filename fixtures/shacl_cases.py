@@ -618,3 +618,58 @@ case("bnode_subject_paths",
       ("ex:S", SH + "property", "ex:SP"),
       ("ex:SP", SH + "path", "ex:q"),
       ("ex:SP", SH + "minCount", "1", "literal", XS + "integer")])
+
+
+# ---- FILTER EXISTS / NOT EXISTS (r04, VERDICT r03 next-round #5) --------------
+# EXISTS is a semi-join, NOT EXISTS an anti-join; vars inside the group
+# are locally scoped (?m, ?city never escape).
+
+# flag employees whose manager-chain head is untracked: ?this reportsTo
+# someone who reports to no one themselves
+case("sparql_not_exists",
+     [("ex:a", T, "ex:Emp"), ("ex:a", "ex:reportsTo", "ex:m1"),
+      ("ex:m1", "ex:reportsTo", "ex:ceo"),
+      ("ex:b", T, "ex:Emp"), ("ex:b", "ex:reportsTo", "ex:m2"),
+      ("ex:c", T, "ex:Emp")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Emp"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "?this ex:reportsTo ?value . "
+       "FILTER NOT EXISTS { ?value ex:reportsTo ?up } }",
+       "literal", XS + "string")])
+
+# both quantifiers in one query: named items pointing at an orphan
+# (EXISTS gates on a name; NOT EXISTS demands the target lacks a type)
+case("sparql_exists_and_not_exists",
+     [("ex:a", T, "ex:Item"), ("ex:a", "ex:name", "A", "literal", XS + "string"),
+      ("ex:a", "ex:ref", "ex:t1"),
+      ("ex:b", T, "ex:Item"), ("ex:b", "ex:ref", "ex:t2"),
+      ("ex:c", T, "ex:Item"), ("ex:c", "ex:name", "C", "literal", XS + "string"),
+      ("ex:c", "ex:ref", "ex:t3"), ("ex:t3", T, "ex:Target")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Item"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "?this ex:ref ?value . "
+       "FILTER EXISTS { ?this ex:name ?n } "
+       "FILTER NOT EXISTS { ?value a ?t } }",
+       "literal", XS + "string")])
+
+# EXISTS whose group chains two hops through a LOCAL var (?k stays
+# inside): focus knows someone who manages someone
+case("sparql_exists_chain",
+     [("ex:a", T, "ex:Peer"), ("ex:a", "ex:knows", "ex:k1"),
+      ("ex:k1", "ex:managerOf", "ex:z"),
+      ("ex:b", T, "ex:Peer"), ("ex:b", "ex:knows", "ex:k2"),
+      ("ex:c", T, "ex:Peer")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Peer"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this WHERE { "
+       "?this a ex:Peer . "
+       "FILTER EXISTS { ?this ex:knows ?k . ?k ex:managerOf ?m } }",
+       "literal", XS + "string")])

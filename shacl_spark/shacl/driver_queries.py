@@ -644,6 +644,10 @@ SELECT rid, '{SH}resultMessage', 'fewer than 1 values', 'literal',
 
 _q(
     "shacl_sparql_constraint",
+    # two SPARQL shapes in one validation: the numeric-filter BGP and —
+    # r04 — a shape whose WHERE uses BOTH quantifier forms (FILTER
+    # EXISTS as a semi-join, FILTER NOT EXISTS as an anti-join):
+    # "a NAMED person working for an org with no known location"
     [
         ("ex:S", T, SH + "NodeShape"),
         ("ex:S", SH + "targetClass", "ex:Person"),
@@ -651,6 +655,15 @@ _q(
         ("ex:SQ", SH + "select",
          "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
          "?this ex:start ?value . ?this ex:end ?e . FILTER (?value >= ?e) }",
+         "literal", STR),
+        ("ex:S2", T, SH + "NodeShape"),
+        ("ex:S2", SH + "targetClass", "ex:Person"),
+        ("ex:S2", SH + "sparql", "ex:SQ2"),
+        ("ex:SQ2", SH + "select",
+         "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+         "?this ex:worksFor ?value . "
+         "FILTER EXISTS { ?this ex:name ?n } "
+         "FILTER NOT EXISTS { ?value ex:locatedIn ?city } }",
          "literal", STR),
     ],
     f"""WITH RECURSIVE {_focus_class("ex:Person")},
@@ -662,5 +675,13 @@ SELECT DISTINCT s.f AS focus,
        CAST(NULL AS VARCHAR) AS path, s.obj AS value,
        '{SH}SPARQLConstraintComponent' AS component
 FROM st s JOIN en e ON e.f = s.f
-WHERE s.num >= e.num""",
+WHERE s.num >= e.num
+UNION
+SELECT DISTINCT f.f AS focus,
+       CAST(NULL AS VARCHAR) AS path, w.obj AS value,
+       '{SH}SPARQLConstraintComponent' AS component
+FROM focus f
+JOIN t w ON w.subj = f.f AND w.pred = 'ex:worksFor'
+WHERE f.f IN (SELECT subj FROM t WHERE pred = 'ex:name')
+  AND w.obj NOT IN (SELECT subj FROM t WHERE pred = 'ex:locatedIn')""",
 )

@@ -174,7 +174,11 @@ def shapes_footprint(shapes: ShapesGraph) -> Footprint:
             from shacl_spark.shacl.sparql import parse_sparql, substitute_path
 
             q = parse_sparql(substitute_path(select_text, shape))
-            pats = list(q.patterns) + [p for g in q.optionals for p in g]
+            pats = (
+                list(q.patterns)
+                + [p for g in q.optionals for p in g]
+                + [p for _pos, g in q.exists for p in g]
+            )
             # ADVICE r03 (high): a BGP chain can reach ?this in OBJECT
             # position ('?x ex:a ?y . ?y ex:b ?this'), where dependency
             # flows subject→object — forward-only preds would never

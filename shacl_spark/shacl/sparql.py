@@ -16,6 +16,13 @@ metamodel + typical data-quality constraints fit in it):
 - ``OPTIONAL { pattern* }`` groups (r03): each group is evaluated as a
   unit over its anchor variables and LEFT-joined back, so a failed
   group leaves ALL of its variables unbound (never a partial prefix)
+- ``FILTER EXISTS { pattern* }`` / ``FILTER NOT EXISTS { pattern* }``
+  (r04): the group is evaluated over the distinct shared-variable
+  bindings and SEMI- (EXISTS) or ANTI-joined (NOT EXISTS) back — the
+  engine's native join shapes for the quantifiers; group-local vars
+  never escape (standard SPARQL scoping).  An anchor left unbound by a
+  failed OPTIONAL counts as "no match" (EXISTS false), a documented
+  approximation of substitution semantics
 - ``FILTER ( expr )`` with ``&& || !``, comparisons
   ``= != < <= > >=`` (term identity for ``=``/``!=`` on raw terms,
   numeric when both sides cast, else string), ``regex(x, "re")``,
@@ -90,6 +97,11 @@ class Query:
     # OPTIONAL { pattern* } groups (r03): each is a list of patterns
     # left-joined as a unit — a failed group leaves its vars unbound
     optionals: list[list[Pattern]] = field(default_factory=list)
+    # FILTER [NOT] EXISTS { pattern* } groups (r04): (positive, group);
+    # translated to a semi/anti join on the shared variables.  Vars
+    # that appear ONLY inside the group are locally scoped (standard
+    # SPARQL: EXISTS never binds outward).
+    exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -165,6 +177,25 @@ class SparqlParser:
                 raise ValueError("sparql: unterminated WHERE block")
             if k == "kw" and v.upper() == "FILTER":
                 self._next()
+                nk, nv = self._peek()
+                if nk == "ident" and (nv or "").upper() in ("EXISTS", "NOT"):
+                    positive = nv.upper() == "EXISTS"
+                    self._next()
+                    if not positive:
+                        self._expect("ident", "EXISTS")
+                    self._expect("punct", "{")
+                    group: list[Pattern] = []
+                    while self._peek() != ("punct", "}"):
+                        if self._peek()[0] is None:
+                            raise ValueError("sparql: unterminated EXISTS block")
+                        group.append(self._pattern())
+                    self._expect("punct", "}")
+                    if not group:
+                        raise ValueError("sparql: empty EXISTS block")
+                    q.exists.append((positive, group))
+                    if self._peek() == ("punct", "."):
+                        self._next()
+                    continue
                 self._expect("punct", "(")
                 q.filters.append(self._expr())
                 self._expect("punct", ")")
@@ -356,6 +387,39 @@ def translate(
             *[f"__anc_{a}_{p}" for a in anchors for p in _VCOLS]
         )
         bound |= gbound
+
+    for positive, group in query.exists:
+        gvars = _pattern_vars(group)
+        anchors = sorted(gvars & bound)
+        if not anchors:
+            raise ValueError("sparql: EXISTS group shares no bound variable")
+        # evaluate the group over the distinct anchor bindings, then
+        # SEMI-join (EXISTS) / ANTI-join (NOT EXISTS) the solutions
+        # against the satisfying keys — the engine's native shapes for
+        # these quantifiers; group-local vars never escape.  An anchor
+        # left unbound by a failed OPTIONAL never matches (EXISTS
+        # false / NOT EXISTS true for that solution — documented
+        # approximation of substitution semantics).
+        seed = cur.select(
+            *[F.col(_vcol(a, p)) for a in anchors for p in _VCOLS]
+        ).distinct()
+        g = _join_patterns(seed, set(anchors), group, triples, counter)
+        keys = g.select(
+            *[F.col(_vcol(a, p)) for a in anchors for p in _VCOLS]
+        ).distinct()
+        for a in anchors:
+            for p in _VCOLS:
+                keys = keys.withColumnRenamed(_vcol(a, p), f"__anc_{a}_{p}")
+        cond = F.lit(True)
+        for a in anchors:
+            cond = (
+                cond
+                & (F.col(_vcol(a, "val")) == F.col(f"__anc_{a}_val"))
+                & (F.col(_vcol(a, "kind")) == F.col(f"__anc_{a}_kind"))
+                & F.col(_vcol(a, "dt")).eqNullSafe(F.col(f"__anc_{a}_dt"))
+                & F.col(_vcol(a, "lang")).eqNullSafe(F.col(f"__anc_{a}_lang"))
+            )
+        cur = cur.join(keys, cond, "left_semi" if positive else "left_anti")
 
     for flt in query.filters:
         missing = _expr_vars(flt) - bound

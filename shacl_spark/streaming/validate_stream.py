@@ -152,16 +152,28 @@ class StreamingValidator:
         # append below, the replay still knows exactly what was applied
         delta.write.mode("overwrite").parquet(self._delta_dir(epoch_id))
         self.sink._append(applied)
-        report = incremental_revalidate(
-            self.spark,
-            # the upsert target is append-only and per-batch deduped on
-            # triple identity — skip the defensive re-dedup scan
-            self.sink.current(dedup=False),
-            delta,
-            self.shapes,
-            self.current_report(),
-            assume_distinct=True,
-        )
+        if not self._versions():
+            # first batch: there is nothing to merge and the delta IS
+            # the graph — a plain full validation gives the identical
+            # report without paying affected-set analysis over every
+            # node (r04; matters when a stream starts from a bulk load)
+            from shacl_spark.shacl import validate
+
+            report = validate(
+                self.spark, self.sink.current(dedup=False), self.shapes,
+                assume_distinct=True,
+            )
+        else:
+            report = incremental_revalidate(
+                self.spark,
+                # the upsert target is append-only and per-batch deduped
+                # on triple identity — skip the defensive re-dedup scan
+                self.sink.current(dedup=False),
+                delta,
+                self.shapes,
+                self.current_report(),
+                assume_distinct=True,
+            )
         self._write_report(report, epoch_id)
 
     def start(self, stream: DataFrame, trigger_available_now: bool = True):

@@ -613,6 +613,28 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
             nxt.extend(exts if exts else [b])
         binds_list = nxt
 
+    # FILTER [NOT] EXISTS groups (r04, mirrors engine semi/anti joins):
+    # a solution survives iff the group has >=1 extension under the
+    # current bindings == positivity; group-local vars never escape.
+    # Vars statically bound by the outer query but left unbound in this
+    # solution (failed OPTIONAL) make EXISTS false / NOT EXISTS true —
+    # the engine's documented approximation.
+    if getattr(q, "exists", None):
+        from shacl_spark.shacl.sparql import _pattern_vars
+
+        stat_bound = {"this"} | _pattern_vars(q.patterns)
+        for og in getattr(q, "optionals", []):
+            stat_bound |= _pattern_vars(og)
+        for positive, group in q.exists:
+            anchors = _pattern_vars(group) & stat_bound
+
+            def sat(b):
+                if any(a not in b for a in anchors):
+                    return False
+                return bool(extend([b], group))
+
+            binds_list = [b for b in binds_list if sat(b) == positive]
+
     def ev(e, b):
         if isinstance(e, BinOp):
             if e.op == "&&":

@@ -84,3 +84,23 @@ def test_broken_metamodel_violates(spark):
     assert "MaxCountConstraintComponent" in comps  # two sh:path values
     assert "DatatypeConstraintComponent" in comps  # minCount "two"
     assert "NodeKindConstraintComponent" in comps  # literal sh:property value
+
+
+def test_sparql_exists_absolute(spark):
+    """Absolute EXISTS/NOT EXISTS semantics (r04): semi/anti joins with
+    group-local variable scoping."""
+    case = CASES["sparql_not_exists"]
+    rows = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"]).collect()
+    # b's manager m2 reports to no one -> flagged; a's m1 does -> clean;
+    # c has no reportsTo -> no solution
+    assert {(r["focus"], r["value"]) for r in rows} == {("ex:b", "ex:m2")}
+
+    case2 = CASES["sparql_exists_and_not_exists"]
+    rows2 = validate(spark, triples_from_rows(spark, case2["data"]), case2["shapes"]).collect()
+    # a: named + t1 untyped -> flagged; b: unnamed -> EXISTS fails;
+    # c: t3 typed -> NOT EXISTS fails
+    assert {(r["focus"], r["value"]) for r in rows2} == {("ex:a", "ex:t1")}
+
+    case3 = CASES["sparql_exists_chain"]
+    rows3 = validate(spark, triples_from_rows(spark, case3["data"]), case3["shapes"]).collect()
+    assert {r["focus"] for r in rows3} == {"ex:a"}
