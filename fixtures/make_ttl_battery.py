@@ -523,8 +523,35 @@ def render_expected(results: list[dict]) -> str:
     )
 
 
+def render_manifest(names) -> str:
+    """manifest.ttl in the W3C data-shapes test-suite vocabulary
+    (mf:Manifest / mf:entries / sht:Validate / mf:action) — the
+    file-per-graph layout: graph references are relative file IRIs and
+    mf:result points at each case's expected.ttl (r04; the loader in
+    shacl_spark/shacl/manifest.py also reads the suite's self-contained
+    layout with inline reports)."""
+    head = (
+        "@prefix rdf: <http://www.w3.org/1999/02/22-rdf-syntax-ns#> .\n"
+        "@prefix mf: <http://www.w3.org/2001/sw/DataAccess/tests/test-manifest#> .\n"
+        "@prefix sht: <http://www.w3.org/ns/shacl-test#> .\n\n"
+    )
+    entries = " ".join(f"<#{n}>" for n in names)
+    blocks = [head, f"<> a mf:Manifest ;\n  mf:entries ( {entries} ) .\n\n"]
+    for n in names:
+        blocks.append(
+            f"<#{n}> a sht:Validate ;\n"
+            f'  mf:name "{n}" ;\n'
+            f"  mf:action [ sht:dataGraph <{n}/data.ttl> ; "
+            f"sht:shapesGraph <{n}/shapes.ttl> ] ;\n"
+            f"  mf:result <{n}/expected.ttl> ;\n"
+            f"  mf:status sht:approved .\n\n"
+        )
+    return "".join(blocks)
+
+
 def main() -> None:
     shutil.rmtree(OUT, ignore_errors=True)
+    os.makedirs(OUT)
     for name, (data, shapes, results) in CASES.items():
         d = os.path.join(OUT, name)
         os.makedirs(d)
@@ -534,7 +561,9 @@ def main() -> None:
             f.write(PROLOGUE + shapes.lstrip("\n"))
         with open(os.path.join(d, "expected.ttl"), "w") as f:
             f.write(render_expected(results))
-    print(f"wrote {len(CASES)} cases -> {OUT}")
+    with open(os.path.join(OUT, "manifest.ttl"), "w") as f:
+        f.write(render_manifest(sorted(CASES)))
+    print(f"wrote {len(CASES)} cases + manifest.ttl -> {OUT}")
 
 
 if __name__ == "__main__":

@@ -165,3 +165,120 @@ def test_shapes_roundtrip_validation(spark):
         (EX + "bob", "legal", SH + "InConstraintComponent"),
         (EX + "carol", "42", SH + "DatatypeConstraintComponent"),
     }
+
+
+# --- hypothesis round-trip (r04, VERDICT r03 next-round #8) -------------------
+# Generate random graphs as ground-truth rows PLUS a Turtle rendering
+# exercising the sugar surface (pnames vs full IRIs, predicate/object
+# lists, 'a', labelled bnodes, numeric/boolean literal sugar, language
+# tags, the five string escapes, unicode); parsing the rendering must
+# reproduce the rows exactly (multiset equality — the battery covers
+# curated anon-bnode/collection cases, whose fresh labels are not
+# stable under round-trip by design).
+
+from hypothesis import given, settings
+from hypothesis import strategies as hst
+
+_PFX = "http://ex.org/"
+_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
+_XSD = "http://www.w3.org/2001/XMLSchema#"
+_LANGSTR = "http://www.w3.org/1999/02/22-rdf-syntax-ns#langString"
+
+_local = hst.from_regex(r"[A-Za-z_][A-Za-z0-9_]{0,6}", fullmatch=True)
+_text = hst.text(
+    alphabet=hst.sampled_from(
+        list("abz09 AZ.,:;!?<>(){}#@/+-*='`~|%&^$") + ['"', "\\", "\n", "\r", "\t", "ä", "π", "中"]
+    ),
+    max_size=12,
+)
+
+
+def _esc(s: str) -> str:
+    return (
+        s.replace("\\", "\\\\").replace('"', '\\"')
+        .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+    )
+
+
+@hst.composite
+def _iri(draw):
+    name = draw(_local)
+    return (
+        f"ex:{name}" if draw(hst.booleans()) else f"<{_PFX}{name}>",
+        _PFX + name,
+    )
+
+
+@hst.composite
+def _object(draw):
+    kind = draw(hst.sampled_from(["iri", "bnode", "str", "lang", "int", "dec", "bool", "typed"]))
+    if kind == "iri":
+        src, val = draw(_iri())
+        return src, (val, "iri", None, None)
+    if kind == "bnode":
+        n = draw(hst.integers(0, 3))
+        return f"_:b{n}", (f"_:b{n}", "bnode", None, None)
+    if kind == "str":
+        s = draw(_text)
+        return f'"{_esc(s)}"', (s, "literal", _XSD + "string", None)
+    if kind == "lang":
+        s = draw(_text)
+        tag = draw(hst.from_regex(r"[a-zA-Z]{2}(-[a-zA-Z0-9]{1,4})?", fullmatch=True))
+        return f'"{_esc(s)}"@{tag}', (s, "literal", _LANGSTR, tag.lower())
+    if kind == "int":
+        i = draw(hst.integers(-10**6, 10**6))
+        return str(i), (str(i), "literal", _XSD + "integer", None)
+    if kind == "dec":
+        i, f = draw(hst.integers(-999, 999)), draw(hst.integers(0, 99))
+        lex = f"{i}.{f}"
+        return lex, (lex, "literal", _XSD + "decimal", None)
+    if kind == "bool":
+        b = draw(hst.booleans())
+        return str(b).lower(), (str(b).lower(), "literal", _XSD + "boolean", None)
+    s = draw(_text)
+    dt_src, dt_val = draw(_iri())
+    return f'"{_esc(s)}"^^{dt_src}', (s, "literal", dt_val, None)
+
+
+@hst.composite
+def _doc(draw):
+    rows, chunks = [], ["@prefix ex: <http://ex.org/> ."]
+    for _ in range(draw(hst.integers(1, 4))):
+        if draw(hst.booleans()):
+            s_src, s_val = draw(_iri())
+        else:
+            n = draw(hst.integers(0, 3))
+            s_src = s_val = f"_:s{n}"
+        pred_parts = []
+        for _ in range(draw(hst.integers(1, 3))):
+            use_a = draw(hst.booleans())
+            if use_a:
+                p_src, p_val = "a", _RDF_TYPE
+            else:
+                p_src, p_val = draw(_iri())
+            obj_parts = []
+            for _ in range(draw(hst.integers(1, 3))):
+                if use_a:
+                    o_src, o_val = draw(_iri())
+                    rows.append((s_val, p_val, o_val, "iri", None, None))
+                    obj_parts.append(o_src)
+                else:
+                    o_src, o_tuple = draw(_object())
+                    rows.append((s_val, p_val) + o_tuple)
+                    obj_parts.append(o_src)
+            pred_parts.append(f"{p_src} " + " , ".join(obj_parts))
+        chunks.append(f"{s_src} " + " ;\n  ".join(pred_parts) + " .")
+    return "\n".join(chunks), rows
+
+
+@settings(max_examples=150, deadline=None)
+@given(_doc())
+def test_hypothesis_roundtrip(doc_rows):
+    from shacl_spark.shacl.turtle import parse_turtle
+
+    doc, rows = doc_rows
+    got = sorted(
+        tuple("␀" if v is None else v for v in r) for r in parse_turtle(doc)
+    )
+    want = sorted(tuple("␀" if v is None else v for v in r) for r in rows)
+    assert got == want, f"doc:\n{doc}"
