@@ -819,6 +819,21 @@ def percentile_values(spark, sf_dir):
     )
 
 
+def _lsh_planes_sql(n_planes: int = 6, dim: int = 64) -> str:
+    """The engine's deterministic hyperplanes as DuckDB VALUES rows —
+    the planes are driver-side literals (similarity.py:_planes, fixed
+    seed), so the oracle can rebuild the exact same sign-bit buckets
+    (VERDICT r03 'What's missing' #1)."""
+    from shacl_spark.operators.similarity import _planes
+
+    rows = ", ".join(
+        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
+        for i, p in enumerate(_planes(dim, n_planes))
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS t(pid, pv)"
+
+
+
 # --- dedup family ---------------------------------------------------------------
 
 
@@ -946,7 +961,41 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
     )
 
 
-@q("dedup_embedding_cosine")  # rows-only: blocking planes are engine-defined
+@q(
+    "dedup_embedding_cosine",
+    # r04: the blocking planes are deterministic driver-side literals
+    # (same device as the ann_lsh_topk oracle) — DuckDB rebuilds the
+    # 8-bit sign bucket, blocks on equality, and verifies cosine in
+    # the engine's double op order; planted scaled copies of every
+    # 10th vector guarantee non-vacuous pairs
+    """WITH planes AS ({PLANES}),
+         corpus AS (
+           SELECT vec_id, embedding FROM embeddings
+           UNION ALL
+           SELECT vec_id + 1000000,
+                  list_transform(embedding, x -> CAST(x AS DOUBLE) * 1.0005)
+           FROM embeddings WHERE vec_id % 10 = 0),
+         db AS (
+           SELECT e.vec_id, e.embedding,
+                  CAST(SUM(CASE WHEN list_sum(list_transform(list_zip(e.embedding, p.pv),
+                           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE))) >= 0
+                           THEN 1 << p.pid ELSE 0 END) AS BIGINT) AS bucket
+           FROM corpus e CROSS JOIN planes p
+           GROUP BY e.vec_id, e.embedding)
+       SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+              CAST(ROUND(
+                list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)
+              AS DOUBLE) AS cosine
+       FROM db a JOIN db b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+       WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
+                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
+             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+             >= 0.99""".replace("{PLANES}", _lsh_planes_sql(n_planes=8)),
+)
 def dedup_embedding_cosine(spark, sf_dir):
     """Planted near-duplicates (scaled copies of every 10th vector, so
     cosine == 1 and the hyperplane sign bucket is provably identical)
@@ -957,10 +1006,14 @@ def dedup_embedding_cosine(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     planted = emb.where(F.col("vec_id") % 10 == 0).select(
         (F.col("vec_id") + F.lit(1_000_000)).alias("vec_id"),
-        F.transform("embedding", lambda x: x * F.lit(1.0005)).alias("embedding"),
+        F.transform("embedding", lambda x: x.cast("double") * F.lit(1.0005)).alias("embedding"),
     )
-    return embedding_dedup_pairs(
-        emb.unionByName(planted), "vec_id", "embedding", threshold=0.99
+    out = embedding_dedup_pairs(
+        emb.unionByName(planted, allowMissingColumns=False),
+        "vec_id", "embedding", threshold=0.99,
+    )
+    return out.select(
+        "id_a", "id_b", F.round("cosine", 5).cast("double").alias("cosine")
     )
 
 
@@ -997,20 +1050,6 @@ def ann_brute_force_topk(spark, sf_dir):
         F.round("cosine", 5).cast("double").alias("cosine"),
         F.col("rank").cast("long").alias("rank"),
     )
-
-
-def _lsh_planes_sql(n_planes: int = 6, dim: int = 64) -> str:
-    """The engine's deterministic hyperplanes as DuckDB VALUES rows —
-    the planes are driver-side literals (similarity.py:_planes, fixed
-    seed), so the oracle can rebuild the exact same sign-bit buckets
-    (VERDICT r03 'What's missing' #1)."""
-    from shacl_spark.operators.similarity import _planes
-
-    rows = ", ".join(
-        f"({i}, [{', '.join(repr(x) for x in p)}]::DOUBLE[])"
-        for i, p in enumerate(_planes(dim, n_planes))
-    )
-    return f"SELECT * FROM (VALUES {rows}) AS t(pid, pv)"
 
 
 @q(
@@ -1722,6 +1761,85 @@ def kg_canonicalize(spark, sf_dir):
     )
     out = canonicalize(corpus)
     return out.select("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang")
+
+
+@q(
+    "kg_link_dictionary",
+    # A9 dictionary linking (BASELINE B:6 "broadcast dictionary of
+    # canonical entity IRIs + pandas-UDF similarity scorer"), r04:
+    # char-3-gram Jaccard is integer set math DuckDB reproduces
+    # exactly, so the per-mention argmax (score DESC, iri ASC) is
+    # hash-verifiable.  The dictionary holds an exact entry AND a
+    # near-miss "...Pro" entry per cluster — the argmax must pick the
+    # exact one; "Gadget" mentions score below threshold and drop out.
+    """WITH base AS (
+         SELECT doc_id,
+                repeat(substring('abcdefghijklmnopqrstuvwxyz', CAST(doc_id % 26 AS INT) + 1, 1), 3) AS l3,
+                doc_id % 3 AS v
+         FROM documents WHERE doc_id < 300),
+       mention AS (
+         SELECT 'm:' || CAST(doc_id AS VARCHAR) AS id,
+                CASE WHEN v = 0 THEN 'Widget' || l3 || 'Maker'
+                     WHEN v = 1 THEN 'widget_' || l3 || '_maker'
+                     ELSE 'Gadget' || l3 || 'Roller' END AS name
+         FROM base),
+       dict AS (
+         SELECT 'dict:w/' || l3 AS iri, 'Widget' || l3 || 'Maker' AS name
+         FROM base WHERE doc_id < 26
+         UNION ALL
+         SELECT 'dict:wp/' || l3, 'Widget' || l3 || 'MakerPro' FROM base WHERE doc_id < 26),
+       mg AS (SELECT id, list_distinct(list_transform(
+                generate_series(1, greatest(len(regexp_replace(lower(name), '[^a-z0-9]', '', 'g')) - 2, 1)),
+                i -> substring(regexp_replace(lower(name), '[^a-z0-9]', '', 'g'), i, 3))) AS g
+              FROM mention),
+       dg AS (SELECT iri, list_distinct(list_transform(
+                generate_series(1, greatest(len(regexp_replace(lower(name), '[^a-z0-9]', '', 'g')) - 2, 1)),
+                i -> substring(regexp_replace(lower(name), '[^a-z0-9]', '', 'g'), i, 3))) AS g
+              FROM dict),
+       scored AS (
+         SELECT m.id, d.iri AS canonical_iri,
+                CAST(len(list_intersect(m.g, d.g)) AS DOUBLE)
+                / len(list_distinct(m.g || d.g)) AS score
+         FROM mg m CROSS JOIN dg d)
+       SELECT id, canonical_iri, CAST(ROUND(score, 6) AS DOUBLE) AS score
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY id ORDER BY score DESC, canonical_iri ASC) AS rn
+             FROM scored WHERE score >= 0.5)
+       WHERE rn = 1""",
+)
+def kg_link_dictionary(spark, sf_dir):
+    """Best-dictionary-match linking through the REAL
+    kg/link.py:link_to_dictionary path (broadcast dictionary,
+    first-char blocking, Arrow-batched Jaccard scorer, per-mention
+    argmax)."""
+    from shacl_spark.kg.link import link_to_dictionary
+
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
+    l3 = F.repeat(
+        F.expr("substring('abcdefghijklmnopqrstuvwxyz', cast(doc_id % 26 as int) + 1, 1)"),
+        3,
+    )
+    v = F.col("doc_id") % 3
+    mentions = docs.select(
+        F.concat(F.lit("m:"), F.col("doc_id").cast("string")).alias("id"),
+        F.when(v == 0, F.concat(F.lit("Widget"), l3, F.lit("Maker")))
+        .when(v == 1, F.concat(F.lit("widget_"), l3, F.lit("_maker")))
+        .otherwise(F.concat(F.lit("Gadget"), l3, F.lit("Roller")))
+        .alias("name"),
+    )
+    small = docs.where(F.col("doc_id") < 26)
+    dictionary = small.select(
+        F.concat(F.lit("dict:w/"), l3).alias("iri"),
+        F.concat(F.lit("Widget"), l3, F.lit("Maker")).alias("name"),
+    ).unionByName(
+        small.select(
+            F.concat(F.lit("dict:wp/"), l3).alias("iri"),
+            F.concat(F.lit("Widget"), l3, F.lit("MakerPro")).alias("name"),
+        )
+    )
+    out = link_to_dictionary(mentions, dictionary, threshold=0.5)
+    return out.select(
+        "id", "canonical_iri", F.round("score", 6).cast("double").alias("score")
+    )
 
 
 # The driver's CORRECTNESS harness checks the FIRST 50 entries of

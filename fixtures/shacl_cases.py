@@ -673,3 +673,35 @@ case("sparql_exists_chain",
        "?this a ex:Peer . "
        "FILTER EXISTS { ?this ex:knows ?k . ?k ex:managerOf ?m } }",
        "literal", XS + "string")])
+
+# ---- UNION (r04): arms may bind different vars/kinds; a solution
+# comes from ANY arm; vars missing from the matching arm stay unbound.
+case("sparql_union",
+     [("ex:a", T, "ex:Acct"), ("ex:a", "ex:email", "a@x", "literal", XS + "string"),
+      ("ex:b", T, "ex:Acct"), ("ex:b", "ex:phone", "555", "literal", XS + "string"),
+      ("ex:c", T, "ex:Acct"),
+      ("ex:d", T, "ex:Acct"), ("ex:d", "ex:email", "d@x", "literal", XS + "string"),
+      ("ex:d", "ex:phone", "556", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Acct"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "{ ?this ex:email ?value } UNION { ?this ex:phone ?value } }",
+       "literal", XS + "string")])
+
+# UNION + FILTER over a var only ONE arm binds: comparing the unbound
+# var in the other arm's solutions is a type error -> false, so only
+# the email arm can fire, and only for flagged addresses.
+case("sparql_union_filter",
+     [("ex:a", T, "ex:Acct"), ("ex:a", "ex:email", "spam@x", "literal", XS + "string"),
+      ("ex:b", T, "ex:Acct"), ("ex:b", "ex:phone", "spam@x", "literal", XS + "string"),
+      ("ex:c", T, "ex:Acct"), ("ex:c", "ex:email", "ok@x", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Acct"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "{ ?this ex:email ?e } UNION { ?this ex:phone ?p } . "
+       'FILTER (?e = "spam@x") }',
+       "literal", XS + "string")])

@@ -665,6 +665,15 @@ _q(
          "FILTER EXISTS { ?this ex:name ?n } "
          "FILTER NOT EXISTS { ?value ex:locatedIn ?city } }",
          "literal", STR),
+        # r04: UNION arms binding values of DIFFERENT term kinds (the
+        # managerOf arm binds IRIs, the backup arm string literals)
+        ("ex:S3", T, SH + "NodeShape"),
+        ("ex:S3", SH + "targetClass", "ex:Person"),
+        ("ex:S3", SH + "sparql", "ex:SQ3"),
+        ("ex:SQ3", SH + "select",
+         "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+         "{ ?this ex:managerOf ?value } UNION { ?this ex:backup ?value } }",
+         "literal", STR),
     ],
     f"""WITH RECURSIVE {_focus_class("ex:Person")},
 st AS (SELECT f.f, t.obj, {_NUM} AS num FROM focus f
@@ -683,5 +692,11 @@ SELECT DISTINCT f.f AS focus,
 FROM focus f
 JOIN t w ON w.subj = f.f AND w.pred = 'ex:worksFor'
 WHERE f.f IN (SELECT subj FROM t WHERE pred = 'ex:name')
-  AND w.obj NOT IN (SELECT subj FROM t WHERE pred = 'ex:locatedIn')""",
+  AND w.obj NOT IN (SELECT subj FROM t WHERE pred = 'ex:locatedIn')
+UNION
+SELECT DISTINCT f.f AS focus,
+       CAST(NULL AS VARCHAR) AS path, u.obj AS value,
+       '{SH}SPARQLConstraintComponent' AS component
+FROM focus f
+JOIN t u ON u.subj = f.f AND u.pred IN ('ex:managerOf', 'ex:backup')""",
 )

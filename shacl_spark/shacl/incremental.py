@@ -178,6 +178,7 @@ def shapes_footprint(shapes: ShapesGraph) -> Footprint:
                 list(q.patterns)
                 + [p for g in q.optionals for p in g]
                 + [p for _pos, g in q.exists for p in g]
+                + [p for arms in q.unions for arm in arms for p in arm]
             )
             # ADVICE r03 (high): a BGP chain can reach ?this in OBJECT
             # position ('?x ex:a ?y . ?y ex:b ?this'), where dependency

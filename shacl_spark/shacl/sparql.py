@@ -16,6 +16,10 @@ metamodel + typical data-quality constraints fit in it):
 - ``OPTIONAL { pattern* }`` groups (r03): each group is evaluated as a
   unit over its anchor variables and LEFT-joined back, so a failed
   group leaves ALL of its variables unbound (never a partial prefix)
+- ``{ pattern* } UNION { pattern* }`` statements (r04, any number of
+  arms): each arm extends the current solutions independently and the
+  results are unioned; a variable bound by only some arms is unbound
+  (NULL → type-error-false in FILTERs) in the others' solutions
 - ``FILTER EXISTS { pattern* }`` / ``FILTER NOT EXISTS { pattern* }``
   (r04): the group is evaluated over the distinct shared-variable
   bindings and SEMI- (EXISTS) or ANTI-joined (NOT EXISTS) back — the
@@ -102,6 +106,10 @@ class Query:
     # that appear ONLY inside the group are locally scoped (standard
     # SPARQL: EXISTS never binds outward).
     exists: list[tuple[bool, list[Pattern]]] = field(default_factory=list)
+    # { arm } UNION { arm } [UNION ...] statements (r04): each entry is
+    # the list of arms; solutions are extended by ANY arm, vars missing
+    # from the matching arm stay unbound (NULL)
+    unions: list[list[list[Pattern]]] = field(default_factory=list)
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -202,6 +210,21 @@ class SparqlParser:
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if k == "punct" and v == "{":
+                # group blocks: { arm } UNION { arm } [UNION { arm }...]
+                arms = [self._group_block()]
+                while (
+                    self._peek()[0] == "ident"
+                    and (self._peek()[1] or "").upper() == "UNION"
+                ):
+                    self._next()
+                    arms.append(self._group_block())
+                if len(arms) < 2:
+                    raise ValueError("sparql: bare group needs UNION")
+                q.unions.append(arms)
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
             if k == "ident" and v.upper() == "OPTIONAL":
                 self._next()
                 self._expect("punct", "{")
@@ -219,6 +242,19 @@ class SparqlParser:
                 continue
             q.patterns.append(self._pattern())
         return q
+
+    def _group_block(self) -> list[Pattern]:
+        """``{ pattern* }`` — used by UNION arms."""
+        self._expect("punct", "{")
+        group: list[Pattern] = []
+        while self._peek() != ("punct", "}"):
+            if self._peek()[0] is None:
+                raise ValueError("sparql: unterminated group block")
+            group.append(self._pattern())
+        self._expect("punct", "}")
+        if not group:
+            raise ValueError("sparql: empty group block")
+        return group
 
     def _pattern(self) -> Pattern:
         s = self._term()
@@ -356,6 +392,36 @@ def translate(
     bound = {"this"}
     counter = [0]
     cur = _join_patterns(cur, bound, query.patterns, triples, counter)
+
+    for arms in query.unions:
+        # each arm extends the current solutions independently; the
+        # union of the arm results is the new solution set, with vars
+        # missing from an arm left unbound (NULL) — SPARQL UNION.
+        arm_frames, arm_news, all_new = [], [], set()
+        for arm in arms:
+            b2 = set(bound)
+            arm_frames.append(_join_patterns(cur, b2, arm, triples, counter))
+            arm_news.append(b2 - bound)
+            all_new |= b2 - bound
+        base_cols = cur.columns
+        ordered = list(base_cols) + [
+            _vcol(v, p) for v in sorted(all_new) for p in _VCOLS
+        ]
+        merged = None
+        for f, newv in zip(arm_frames, arm_news):
+            missing = all_new - newv
+            if missing:
+                f = f.withColumns(
+                    {
+                        _vcol(v, p): F.lit(None).cast("string")
+                        for v in missing
+                        for p in _VCOLS
+                    }
+                )
+            f = f.select(*ordered)
+            merged = f if merged is None else merged.unionByName(f)
+        cur = merged
+        bound |= all_new
 
     for group in query.optionals:
         gvars = _pattern_vars(group)

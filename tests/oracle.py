@@ -603,6 +603,14 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
         return out
 
     binds_list = extend([{"this": focus}], q.patterns)
+    # UNION statements (r04, mirrors engine): a solution is extended by
+    # ANY arm; vars missing from the matching arm stay unbound
+    for arms in getattr(q, "unions", []):
+        nxt = []
+        for b in binds_list:
+            for arm in arms:
+                nxt.extend(extend([b], arm))
+        binds_list = nxt
     # OPTIONAL groups (mirrors engine): a group that matches extends the
     # binding; one that doesn't leaves the binding unchanged (its vars
     # unbound) — never a partially-bound prefix

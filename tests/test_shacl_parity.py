@@ -104,3 +104,18 @@ def test_sparql_exists_absolute(spark):
     case3 = CASES["sparql_exists_chain"]
     rows3 = validate(spark, triples_from_rows(spark, case3["data"]), case3["shapes"]).collect()
     assert {r["focus"] for r in rows3} == {"ex:a"}
+
+
+def test_sparql_union_absolute(spark):
+    """Absolute UNION semantics (r04): solutions from any arm; a var
+    bound by only one arm is unbound (type-error false in FILTERs) in
+    the other arm's solutions."""
+    case = CASES["sparql_union"]
+    rows = validate(spark, triples_from_rows(spark, case["data"]), case["shapes"]).collect()
+    assert {(r["focus"], r["value"]) for r in rows} == {
+        ("ex:a", "a@x"), ("ex:b", "555"), ("ex:d", "d@x"), ("ex:d", "556"),
+    }
+
+    case2 = CASES["sparql_union_filter"]
+    rows2 = validate(spark, triples_from_rows(spark, case2["data"]), case2["shapes"]).collect()
+    assert {r["focus"] for r in rows2} == {"ex:a"}
