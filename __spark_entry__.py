@@ -1103,6 +1103,62 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+@q(
+    "ann_ivf_topk",
+    # IVF-flat (r04): the coarse quantizer is deterministic (the 16
+    # lowest-id vectors), so DuckDB rebuilds the same inverted lists —
+    # argmax-cosine cell assignment (ties to the larger index, exactly
+    # the engine's struct-sort order), nprobe=4 probing, cosine verify
+    f"""WITH cents AS (
+           SELECT ROW_NUMBER() OVER (ORDER BY vec_id) - 1 AS j, embedding AS cv
+           FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT 16)),
+         allcos AS (
+           SELECT e.vec_id, e.embedding, c.j,
+                  {_COS.format(a="e.embedding", b="c.cv")} AS cs
+           FROM embeddings e CROSS JOIN cents c),
+         dcell AS (
+           SELECT vec_id, embedding, j AS cell FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, j DESC) AS rn
+             FROM allcos) WHERE rn = 1),
+         qprobe AS (
+           SELECT vec_id AS query_id, embedding AS qv, j AS cell FROM (
+             SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY cs DESC, j DESC) AS rn
+             FROM allcos WHERE vec_id < 5) WHERE rn <= 4),
+         scored AS (
+           SELECT q.query_id, d.vec_id,
+                  {_COS.format(a="d.embedding", b="q.qv")} AS cos
+           FROM dcell d JOIN qprobe q ON d.cell = q.cell)
+       SELECT query_id, vec_id,
+              CAST(ROUND(cos, 5) AS DOUBLE) AS cosine,
+              CAST(rnk AS BIGINT) AS rank
+       FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
+             FROM scored) WHERE rnk <= 10""",
+)
+def ann_ivf_topk(spark, sf_dir):
+    """IVF-flat ANN through the real operators/similarity.py:ivf_topk
+    path (broadcast codebook, inverted-list equi-join, nprobe=4)."""
+    from shacl_spark.operators.similarity import ivf_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4)
+    return out.select(
+        "query_id",
+        "vec_id",
+        F.round("cosine", 5).cast("double").alias("cosine"),
+        F.col("rank").cast("long").alias("rank"),
+    )
+
+
 @q(
     "embedding_centroids",
     """SELECT label, CAST(COUNT(*) AS BIGINT) AS n,

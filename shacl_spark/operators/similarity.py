@@ -131,3 +131,68 @@ def centroids_by_label(
             F.transform(F.col("pm"), lambda s: s["m"]).alias("centroid"),
         )
     )
+
+
+def ivf_topk(
+    data: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id: str = "query_id",
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-flat approximate top-k (r04): a coarse quantizer assigns
+    every vector to its nearest centroid (the inverted-list cell), and
+    each query searches only its ``nprobe`` nearest cells.
+
+    The quantizer here is deterministic — the ``n_centroids`` lowest-id
+    data vectors, collected to the driver (tiny: n_centroids × dim) and
+    embedded as literal arrays, so assignment is pure JVM Column math
+    with NO join, exactly how a k-means codebook would be broadcast at
+    deployment scale (train offline, ship the codebook).  At 100 TB the
+    cell id is the partition key: each probe touches ~nprobe/n_centroids
+    of the corpus.
+
+    DF[query_id, vec_id, cosine, rank]."""
+    cent_rows = (
+        data.select(F.col(id_col).alias("i"), F.col(vec_col).alias("v"))
+        .orderBy("i")
+        .limit(n_centroids)
+        .collect()
+    )
+    cents = [[float(x) for x in r["v"]] for r in cent_rows]
+
+    def cell_of(vec: Column, top_n: int) -> Column:
+        """Ranked nearest-centroid cell ids (argmax cosine, ties to the
+        LARGER index — mirrored in the DuckDB oracle)."""
+        scored = F.array(
+            *[
+                F.struct(
+                    cosine_similarity(
+                        vec, F.array(*[F.lit(x) for x in c])
+                    ).alias("c"),
+                    F.lit(j).alias("j"),
+                )
+                for j, c in enumerate(cents)
+            ]
+        )
+        ranked = F.sort_array(scored, asc=False)  # (c desc, j desc)
+        return F.slice(F.transform(ranked, lambda s: s["j"]), 1, top_n)
+
+    d = data.select(
+        F.col(id_col), F.col(vec_col).alias("dv")
+    ).withColumn("cell", cell_of(F.col("dv"), 1)[0])
+
+    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv")).withColumn(
+        "cell", F.explode(cell_of(F.col("qv"), nprobe))
+    )
+    scored = d.join(F.broadcast(q.select(query_id, "qv", "cell")), "cell")
+    scored = scored.withColumn("cosine", cosine_similarity(F.col("dv"), F.col("qv")))
+    w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .select(query_id, id_col, "cosine", "rank")
+    )

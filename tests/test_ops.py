@@ -209,3 +209,35 @@ def test_salted_join_matches_plain_join(spark):
     assert sorted(map(tuple, out.select("key", "val", "tag").collect())) == sorted(
         map(tuple, plain.select("key", "val", "tag").collect())
     )
+
+
+def test_ivf_topk_self_match_and_recall(spark):
+    """IVF-flat (r04): each query's rank-1 hit is itself (it sits in
+    its own cell with cosine 1), and probing nprobe=4 of 16 cells
+    recovers a sane fraction of the exact top-10."""
+    from pyspark.sql import functions as F
+
+    from shacl_spark.operators.similarity import brute_force_topk, ivf_topk
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    queries = emb.where(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    ivf = ivf_topk(emb, queries, k=10, n_centroids=16, nprobe=4).collect()
+    top1 = {r["query_id"]: r["vec_id"] for r in ivf if r["rank"] == 1}
+    assert top1 == {q: q for q in range(5)}
+
+    exact = brute_force_topk(emb, queries, k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    got_sets = {}
+    for r in ivf:
+        got_sets.setdefault(r["query_id"], set()).add(r["vec_id"])
+    recall = sum(
+        len(got_sets[q] & exact_sets[q]) for q in exact_sets
+    ) / sum(len(s) for s in exact_sets.values())
+    # random synthetic embeddings are a worst case for ANN (neighbors
+    # are noise); probing 1/4 of the cells must still recover a
+    # non-trivial fraction of the exact neighbors
+    assert recall >= 0.2, recall
