@@ -496,6 +496,41 @@ ex:S a sh:NodeShape ; sh:targetClass ex:Contact ;
 """, [dict(focus="ex:carl", value="ex:carl",
            component="sh:OrConstraintComponent")])
 
+# --- §5 SPARQL-based constraints (r04: EXISTS / NOT EXISTS / UNION) -----------
+
+case("42_sparql_not_exists", """
+ex:a a ex:Emp ; ex:reportsTo ex:m1 .
+ex:m1 ex:reportsTo ex:ceo .
+ex:b a ex:Emp ; ex:reportsTo ex:m2 .
+ex:c a ex:Emp .
+""", """
+ex:S a sh:NodeShape ; sh:targetClass ex:Emp ;
+  sh:sparql [ sh:select "PREFIX ex: <ex:> SELECT ?this ?value WHERE { ?this ex:reportsTo ?value . FILTER NOT EXISTS { ?value ex:reportsTo ?up } }" ] .
+""", [dict(focus="ex:b", value="ex:m2",
+           component="sh:SPARQLConstraintComponent")])
+
+case("43_sparql_exists", """
+ex:a a ex:Peer ; ex:knows ex:k1 .
+ex:k1 ex:managerOf ex:z .
+ex:b a ex:Peer ; ex:knows ex:k2 .
+ex:c a ex:Peer .
+""", """
+ex:S a sh:NodeShape ; sh:targetClass ex:Peer ;
+  sh:sparql [ sh:select "PREFIX ex: <ex:> SELECT ?this WHERE { ?this a ex:Peer . FILTER EXISTS { ?this ex:knows ?k . ?k ex:managerOf ?m } }" ] .
+""", [dict(focus="ex:a", component="sh:SPARQLConstraintComponent")])
+
+case("44_sparql_union", """
+ex:a a ex:Acct ; ex:email "a@x" .
+ex:b a ex:Acct ; ex:phone "555" .
+ex:c a ex:Acct .
+""", """
+ex:S a sh:NodeShape ; sh:targetClass ex:Acct ;
+  sh:sparql [ sh:select "PREFIX ex: <ex:> SELECT ?this ?value WHERE { { ?this ex:email ?value } UNION { ?this ex:phone ?value } }" ] .
+""", [dict(focus="ex:a", value='"a@x"',
+           component="sh:SPARQLConstraintComponent"),
+      dict(focus="ex:b", value='"555"',
+           component="sh:SPARQLConstraintComponent")])
+
 
 def render_expected(results: list[dict]) -> str:
     if not results:
