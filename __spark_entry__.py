@@ -833,6 +833,14 @@ def _lsh_planes_sql(n_planes: int = 6, dim: int = 64) -> str:
     return f"SELECT * FROM (VALUES {rows}) AS t(pid, pv)"
 
 
+_COS = (
+    "list_sum(list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
+    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
+    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
+)
+
+
+
 
 # --- dedup family ---------------------------------------------------------------
 
@@ -983,18 +991,11 @@ def dedup_ngram_jaccard_exact(spark, sf_dir):
            FROM corpus e CROSS JOIN planes p
            GROUP BY e.vec_id, e.embedding)
        SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-              CAST(ROUND(
-                list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                         z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                   * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))), 5)
-              AS DOUBLE) AS cosine
+              CAST(ROUND({COS_AB}, 5) AS DOUBLE) AS cosine
        FROM db a JOIN db b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-       WHERE list_sum(list_transform(list_zip(a.embedding, b.embedding),
-                      z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-             / (sqrt(list_sum(list_transform(a.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                * sqrt(list_sum(list_transform(b.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
-             >= 0.99""".replace("{PLANES}", _lsh_planes_sql(n_planes=8)),
+       WHERE {COS_AB} >= 0.99"""
+    .replace("{PLANES}", _lsh_planes_sql(n_planes=8))
+    .replace("{COS_AB}", _COS.format(a="a.embedding", b="b.embedding")),
 )
 def dedup_embedding_cosine(spark, sf_dir):
     """Planted near-duplicates (scaled copies of every 10th vector, so
@@ -1073,19 +1074,15 @@ def ann_brute_force_topk(spark, sf_dir):
            FROM (SELECT vec_id AS query_id, embedding AS qv, bucket AS qbucket
                  FROM db WHERE vec_id < 5)),
          scored AS (
-           SELECT q.query_id, d.vec_id,
-                  list_sum(list_transform(list_zip(d.embedding, q.qv),
-                           z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))
-                  / (sqrt(list_sum(list_transform(d.embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
-                     * sqrt(list_sum(list_transform(q.qv, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))) AS cos
+           SELECT q.query_id, d.vec_id, {{COS_DQ}} AS cos
            FROM db d JOIN qp q ON d.bucket = q.bucket)
        SELECT query_id, vec_id,
               CAST(ROUND(cos, 5) AS DOUBLE) AS cosine,
               CAST(rnk AS BIGINT) AS rank
        FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rnk
-             FROM scored) WHERE rnk <= 10""".replace(
-        "{PLANES}", _lsh_planes_sql()
-    ),
+             FROM scored) WHERE rnk <= 10"""
+    .replace("{PLANES}", _lsh_planes_sql())
+    .replace("{COS_DQ}", _COS.format(a="d.embedding", b="q.qv")),
 )
 def ann_lsh_topk(spark, sf_dir):
     from shacl_spark.operators.similarity import lsh_topk
@@ -1103,11 +1100,6 @@ def ann_lsh_topk(spark, sf_dir):
     )
 
 
-_COS = (
-    "list_sum(list_transform(list_zip({a}, {b}), z -> CAST(z[1] AS DOUBLE) * CAST(z[2] AS DOUBLE)))"
-    " / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))"
-    " * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))"
-)
 
 
 @q(

@@ -125,20 +125,21 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         from shacl_spark.kg.canon import canonicalize
 
         cc_stats: dict = {}
-        # same warm-run discipline as the validate block: the first
-        # canonicalize pays one-off python-worker spin-up for the
-        # minhash/scorer pandas UDFs plus the input checkpoint, and a
-        # single capture on this VM is exposed to ±50% steal spikes —
-        # warm once, then best-of-N is the steady-state number
-        # (BENCH/BASELINE.md).  Input sizing: 1024 extraction
-        # partitions → ~500 rows/task starves every stage on per-task
-        # overhead at this corpus size, hence repartition(32).
-        canonicalize(full.repartition(32), cc_stats=cc_stats).count()  # warm
+        # same warm-run discipline as the validate block: warm once for
+        # the minhash/scorer pandas-UDF worker spin-up, then best-of-N
+        # is the steady-state number (BENCH/BASELINE.md).  The input is
+        # checkpointed ONCE outside the timed loop (r04 review #7: an
+        # unpersisted `full` re-ran the whole extraction inside every
+        # timed run, so canon_sec measured extraction+canonicalization).
+        # Sizing: 1024 extraction partitions → ~500 rows/task starves
+        # every stage on per-task overhead, hence repartition(32).
+        full32 = full.repartition(32).localCheckpoint(eager=True)
+        canonicalize(full32, cc_stats=cc_stats, checkpoint_input=False).count()
         times_c = []
         for _ in range(max(n_runs, 3)):
             c0 = time.time()
             out["canon_triples"] = canonicalize(
-                full.repartition(32), cc_stats=cc_stats
+                full32, cc_stats=cc_stats, checkpoint_input=False
             ).count()
             times_c.append(time.time() - c0)
         out["canon_sec"] = round(min(times_c), 2)

@@ -705,3 +705,38 @@ case("sparql_union_filter",
        "{ ?this ex:email ?e } UNION { ?this ex:phone ?p } . "
        'FILTER (?e = "spam@x") }',
        "literal", XS + "string")])
+
+# ---- textual statement order (r04 review): an OPTIONAL-bound var
+# consumed by a LATER union must see the binding (and a solution whose
+# optional failed joins the union arms on NULL -> no extension).
+case("sparql_optional_then_union",
+     [("ex:a", T, "ex:Node"), ("ex:a", "ex:p", "ex:v1"),
+      ("ex:v1", "ex:x", "1", "literal", XS + "string"),
+      ("ex:b", T, "ex:Node"),
+      ("ex:c", T, "ex:Node"), ("ex:c", "ex:p", "ex:v3"),
+      ("ex:v3", "ex:y", "2", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Node"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
+       "?this a ex:Node . OPTIONAL { ?this ex:p ?v } "
+       "{ ?v ex:x ?value } UNION { ?v ex:y ?value } }",
+       "literal", XS + "string")])
+
+# EXISTS over a var only ONE union arm binds (r04 review #3): arm-1
+# solutions leave ?w unbound -> EXISTS false; arm-2 solutions survive
+# iff their ?w has the ex:c edge.
+case("sparql_union_exists",
+     [("ex:a", T, "ex:T"), ("ex:a", "ex:pa", "x", "literal", XS + "string"),
+      ("ex:b", T, "ex:T"), ("ex:b", "ex:pb", "ex:w1"),
+      ("ex:w1", "ex:c", "ex:z"),
+      ("ex:c", T, "ex:T"), ("ex:c", "ex:pb", "ex:w2")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:T"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this WHERE { "
+       "{ ?this ex:pa ?value } UNION { ?this ex:pb ?w } . "
+       "FILTER EXISTS { ?w ex:c ?z } }",
+       "literal", XS + "string")])

@@ -80,6 +80,10 @@ def main(argv=None) -> int:
         )
     else:
         report = validate(spark, triples, _read_shapes_rows(spark, args.shapes))
+    # materialize the report ONCE: the summary plus up to three output
+    # writers would otherwise each re-run the full validation lineage
+    # (r04 review #6 — 4x the wall on a large graph)
+    report = report.localCheckpoint(eager=True)
     # summarize() groups by (component, severity, source_shape): SUM per
     # component here — a dict comprehension would keep only the last row
     by_comp: dict[str, int] = {}
@@ -88,15 +92,16 @@ def main(argv=None) -> int:
         by_comp[key] = by_comp.get(key, 0) + r["n"]
     if args.report:
         report.write.mode("overwrite").parquet(args.report)
-    if args.report_triples:
+    if args.report_triples or args.report_nt:
         from shacl_spark.shacl.report import report_to_triples
 
-        report_to_triples(report).write.mode("overwrite").parquet(args.report_triples)
-    if args.report_nt:
-        from shacl_spark.shacl.report import report_to_triples
-        from shacl_spark.sources.ntriples import write_ntriples
+        rt = report_to_triples(report)
+        if args.report_triples:
+            rt.write.mode("overwrite").parquet(args.report_triples)
+        if args.report_nt:
+            from shacl_spark.sources.ntriples import write_ntriples
 
-        write_ntriples(report_to_triples(report), args.report_nt)
+            write_ntriples(rt, args.report_nt)
     print(json.dumps({"conforms": not by_comp, "violations_by_component": by_comp}))
     return 0
 

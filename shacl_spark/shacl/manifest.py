@@ -105,9 +105,19 @@ def _report_from_graph(po, report_node: str) -> tuple[bool, list[dict]]:
     return conforms, results
 
 
-def load_manifest(path: str) -> list[ManifestCase]:
+def load_manifest(
+    path: str, _visited: set[str] | None = None
+) -> list[ManifestCase]:
     """Parse a manifest.ttl (+ its mf:include closure) into validate
-    cases with resolved graph paths and expected reports."""
+    cases with resolved graph paths and expected reports.  The include
+    walk is cycle-safe (r04 review #4): a manifest reached twice —
+    self-include, mutual includes, or a shared child of two parents —
+    is loaded once, not recursed into forever / duplicated."""
+    visited = _visited if _visited is not None else set()
+    real = os.path.realpath(path)
+    if real in visited:
+        return []
+    visited.add(real)
     rows = parse_turtle_file(path)
     po = _index(rows)
 
@@ -117,7 +127,7 @@ def load_manifest(path: str) -> list[ManifestCase]:
     ]
     for m in manifest_nodes:
         for inc_row in po[m].get(MF + "include", []):
-            cases.extend(load_manifest(_resolve(inc_row[2], path)))
+            cases.extend(load_manifest(_resolve(inc_row[2], path), visited))
         for head_row in po[m].get(MF + "entries", []):
             for entry in _list_items(po, head_row[2]):
                 pv = po[entry]

@@ -110,6 +110,13 @@ class Query:
     # the list of arms; solutions are extended by ANY arm, vars missing
     # from the matching arm stay unbound (NULL)
     unions: list[list[list[Pattern]]] = field(default_factory=list)
+    # TEXTUAL statement order (r04 review #2): SPARQL joins pattern /
+    # OPTIONAL / UNION statements left-to-right, so a UNION arm that
+    # consumes an OPTIONAL-bound variable means something different
+    # before vs after that OPTIONAL.  Entries: ("pattern", Pattern),
+    # ("optional", [Pattern...]), ("union", [[Pattern...]...]).  The
+    # flat fields above stay populated for footprint analysis.
+    statements: list[tuple[str, object]] = field(default_factory=list)
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -222,6 +229,7 @@ class SparqlParser:
                 if len(arms) < 2:
                     raise ValueError("sparql: bare group needs UNION")
                 q.unions.append(arms)
+                q.statements.append(("union", arms))
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
@@ -237,10 +245,13 @@ class SparqlParser:
                 if not group:
                     raise ValueError("sparql: empty OPTIONAL block")
                 q.optionals.append(group)
+                q.statements.append(("optional", group))
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
-            q.patterns.append(self._pattern())
+            pat = self._pattern()
+            q.patterns.append(pat)
+            q.statements.append(("pattern", pat))
         return q
 
     def _group_block(self) -> list[Pattern]:
@@ -391,39 +402,48 @@ def translate(
     )
     bound = {"this"}
     counter = [0]
-    cur = _join_patterns(cur, bound, query.patterns, triples, counter)
 
-    for arms in query.unions:
-        # each arm extends the current solutions independently; the
-        # union of the arm results is the new solution set, with vars
-        # missing from an arm left unbound (NULL) — SPARQL UNION.
-        arm_frames, arm_news, all_new = [], [], set()
-        for arm in arms:
-            b2 = set(bound)
-            arm_frames.append(_join_patterns(cur, b2, arm, triples, counter))
-            arm_news.append(b2 - bound)
-            all_new |= b2 - bound
-        base_cols = cur.columns
-        ordered = list(base_cols) + [
-            _vcol(v, p) for v in sorted(all_new) for p in _VCOLS
-        ]
-        merged = None
-        for f, newv in zip(arm_frames, arm_news):
-            missing = all_new - newv
-            if missing:
-                f = f.withColumns(
-                    {
-                        _vcol(v, p): F.lit(None).cast("string")
-                        for v in missing
-                        for p in _VCOLS
-                    }
-                )
-            f = f.select(*ordered)
-            merged = f if merged is None else merged.unionByName(f)
-        cur = merged
-        bound |= all_new
-
-    for group in query.optionals:
+    # statements run in TEXTUAL order (r04 review #2): SPARQL joins
+    # pattern / OPTIONAL / UNION statements left-to-right, so a UNION
+    # arm consuming an OPTIONAL-bound variable sees it bound only when
+    # the OPTIONAL came first — exactly like the spec's group algebra.
+    for kind, payload in query.statements:
+        if kind == "pattern":
+            cur = _join_patterns(cur, bound, [payload], triples, counter)
+            continue
+        if kind == "union":
+            # each arm extends the current solutions independently; the
+            # union of the arm results is the new solution set, with
+            # vars missing from an arm left unbound (NULL)
+            arms = payload
+            arm_frames, arm_news, all_new = [], [], set()
+            for arm in arms:
+                b2 = set(bound)
+                arm_frames.append(_join_patterns(cur, b2, arm, triples, counter))
+                arm_news.append(b2 - bound)
+                all_new |= b2 - bound
+            base_cols = cur.columns
+            ordered = list(base_cols) + [
+                _vcol(v, p) for v in sorted(all_new) for p in _VCOLS
+            ]
+            merged = None
+            for f, newv in zip(arm_frames, arm_news):
+                missing = all_new - newv
+                if missing:
+                    f = f.withColumns(
+                        {
+                            _vcol(v, p): F.lit(None).cast("string")
+                            for v in missing
+                            for p in _VCOLS
+                        }
+                    )
+                f = f.select(*ordered)
+                merged = f if merged is None else merged.unionByName(f)
+            cur = merged
+            bound |= all_new
+            continue
+        # OPTIONAL group
+        group = payload
         gvars = _pattern_vars(group)
         anchors = sorted(gvars & bound)
         if not anchors:

@@ -174,17 +174,52 @@ def ntriples_line(
         .when(obj_kind == "bnode", obj)
         .otherwise(F.concat(F.lit('"'), _escape(obj), F.lit('"'), lit_suffix))
     )
-    return F.concat_ws(" ", s_term, p_term, o_term, F.lit("."))
+    # a NULL mandatory term must poison the WHOLE line to NULL, never
+    # produce a shorter-but-parseable-looking line (r04 review #5:
+    # concat_ws silently skips NULLs, so a NULL subj emitted '<p> <o> .'
+    # which the reader then silently dropped — data vanished end to end)
+    return F.when(
+        subj.isNotNull() & pred.isNotNull() & obj.isNotNull() & obj_kind.isNotNull(),
+        F.concat_ws(" ", s_term, p_term, o_term, F.lit(".")),
+    )
 
 
-def write_ntriples(df: DataFrame, path: str, mode: str = "overwrite") -> None:
+def write_ntriples(
+    df: DataFrame, path: str, mode: str = "overwrite", on_null: str = "error"
+) -> None:
     """Serialize a triple frame (engine 6-column shape; extra columns
     ignored) to N-Triples text at ``path`` — one codegen'd projection +
     ``write.text``, splittable and parallel like the reader, so any
     standard RDF tool can consume validation reports or graphs the
-    engine produces."""
+    engine produces.
+
+    Rows with a NULL mandatory term (subj/pred/obj/obj_kind — e.g. the
+    dead-letter rows of ``read_ntriples(bad_lines='keep')``) FAIL the
+    write by default (the text datasource rejects NULL values — loud,
+    not lossy); pass ``on_null='drop'`` to skip them instead.  A
+    literal with NULL ``obj_dt`` serializes suffix-free and reads back
+    as ``xsd:string`` — the engine's normal form for plain literals."""
     line = ntriples_line(
         F.col("subj"), F.col("pred"), F.col("obj"),
         F.col("obj_kind"), F.col("obj_dt"), F.col("obj_lang"),
     )
-    df.select(line.alias("value")).write.mode(mode).text(path)
+    out = df.select(line.alias("value"))
+    if on_null == "drop":
+        out = out.where(F.col("value").isNotNull())
+    else:
+        # the text datasource happily writes NULLs as blank lines —
+        # fail the job instead (loud, not lossy)
+        out = out.select(
+            F.when(
+                F.col("value").isNull(),
+                F.raise_error(
+                    F.lit(
+                        "write_ntriples: NULL mandatory term "
+                        "(pass on_null='drop' to skip such rows)"
+                    )
+                ).cast("string"),
+            )
+            .otherwise(F.col("value"))
+            .alias("value")
+        )
+    out.write.mode(mode).text(path)

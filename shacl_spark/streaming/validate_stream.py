@@ -42,6 +42,7 @@ import os
 import shutil
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from shacl_spark.functions.terms import TRIPLE_SCHEMA
 from shacl_spark.shacl.engine import REPORT_OUT_SCHEMA
@@ -97,32 +98,59 @@ class StreamingValidator:
     def _delta_dir(self, epoch_id: int) -> str:
         return os.path.join(self.report_dir, "_delta", f"epoch={epoch_id}")
 
-    def _journal_committed(self, epoch_id: int) -> bool:
-        return os.path.isfile(os.path.join(self._delta_dir(epoch_id), "_SUCCESS"))
+    @staticmethod
+    def _batch_fp(batch: DataFrame) -> str:
+        """Order-independent content fingerprint of a micro-batch
+        (count + sum of triple-identity hashes).  Epoch ids alone are
+        NOT a safe replay key: a stream restarted without a checkpoint
+        location numbers epochs from 0 again, and a journal/marker
+        keyed only by epoch would silently swallow or replace the new
+        batch (r04 review finding #1)."""
+        from shacl_spark.functions.terms import triple_id
 
-    def _report_marks_epoch(self, epoch_id: int) -> bool:
+        row = batch.select(
+            F.count("*").alias("n"),
+            # decimal accumulator: a plain long sum of 2^63-range
+            # hashes overflows under ANSI mode
+            F.sum(F.xxhash64(triple_id()).cast("decimal(38,0)")).alias("s"),
+        ).collect()[0]
+        return f"{row['n']}_{row['s']}"
+
+    def _journal_fp(self, epoch_id: int) -> str | None:
+        """The fingerprint of a fully-committed journal, else None."""
+        d = self._delta_dir(epoch_id)
+        if not os.path.isfile(os.path.join(d, "_SUCCESS")):
+            return None
+        fps = [f[4:] for f in os.listdir(d) if f.startswith("_fp_")]
+        return fps[0] if fps else None
+
+    def _report_marks_epoch(self, epoch_id: int, fp: str) -> bool:
         return any(
             os.path.isfile(
-                os.path.join(self.report_dir, f"v={v}", f"_epoch_{epoch_id}")
+                os.path.join(self.report_dir, f"v={v}", f"_epoch_{epoch_id}_{fp}")
             )
             for v in self._versions()
         )
 
-    def _write_report(self, report: DataFrame, epoch_id: int) -> None:
+    def _write_report(self, report: DataFrame, epoch_id: int, fp: str) -> None:
         nxt = (self._versions() or [0])[-1] + 1
         vdir = os.path.join(self.report_dir, f"v={nxt}")
         report.write.mode("overwrite").parquet(vdir)
         # marker AFTER the parquet commit: a crash in between just makes
         # the next replay recompute into v=n+1 (wasted work, not a gap)
-        open(os.path.join(vdir, f"_epoch_{epoch_id}"), "w").close()
+        open(os.path.join(vdir, f"_epoch_{epoch_id}_{fp}"), "w").close()
         # the journal has served its purpose; without it a replay takes
         # the normal path, recomputes an empty delta, and no-ops
         shutil.rmtree(self._delta_dir(epoch_id), ignore_errors=True)
 
     def _on_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        if self._journal_committed(epoch_id):
-            if self._report_marks_epoch(epoch_id):
-                return  # target + report both committed for this epoch
+        fp = self._batch_fp(batch)
+        # a committed journal is authoritative ONLY for the same batch
+        # content: a restarted (checkpoint-less) stream reuses epoch
+        # ids, and that collision must fall through to the normal path
+        if self._journal_fp(epoch_id) == fp:
+            if self._report_marks_epoch(epoch_id, fp):
+                return  # target + report both committed for this batch
             # crash landed between the journal write and the report
             # write: the journalled delta is authoritative
             delta = self.spark.read.schema(TRIPLE_SCHEMA).parquet(
@@ -141,7 +169,7 @@ class StreamingValidator:
                 self.current_report(),
                 assume_distinct=True,
             )
-            self._write_report(report, epoch_id)
+            self._write_report(report, epoch_id, fp)
             return
         applied = self.sink._compute_delta(batch)
         if applied.isEmpty():
@@ -149,8 +177,10 @@ class StreamingValidator:
             #         journal was already pruned): report stands
         delta = applied.drop("tid", "part")
         # durable journal FIRST: if the process dies after the target
-        # append below, the replay still knows exactly what was applied
+        # append below, the replay still knows exactly what was applied;
+        # the fingerprint file attributes it to THIS batch's content
         delta.write.mode("overwrite").parquet(self._delta_dir(epoch_id))
+        open(os.path.join(self._delta_dir(epoch_id), f"_fp_{fp}"), "w").close()
         self.sink._append(applied)
         if not self._versions():
             # first batch: there is nothing to merge and the delta IS
@@ -174,12 +204,22 @@ class StreamingValidator:
                 self.current_report(),
                 assume_distinct=True,
             )
-        self._write_report(report, epoch_id)
+        self._write_report(report, epoch_id, fp)
 
-    def start(self, stream: DataFrame, trigger_available_now: bool = True):
+    def start(
+        self,
+        stream: DataFrame,
+        trigger_available_now: bool = True,
+        checkpoint_location: str | None = None,
+    ):
         """Attach to a streaming triple frame (canonical 6-column
-        schema).  Returns the StreamingQuery."""
+        schema).  Returns the StreamingQuery.  Pass
+        ``checkpoint_location`` in production so restarts resume epoch
+        numbering (the content fingerprint protects correctness either
+        way, but a checkpoint avoids re-reading already-seen input)."""
         writer = stream.writeStream.foreachBatch(self._on_batch).outputMode("append")
+        if checkpoint_location:
+            writer = writer.option("checkpointLocation", checkpoint_location)
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()

@@ -602,46 +602,70 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
             out = nxt
         return out
 
-    binds_list = extend([{"this": focus}], q.patterns)
-    # UNION statements (r04, mirrors engine): a solution is extended by
-    # ANY arm; vars missing from the matching arm stay unbound
-    for arms in getattr(q, "unions", []):
+    # statements in TEXTUAL order (r04 review #2, mirrors engine): a
+    # UNION arm consuming an OPTIONAL-bound var sees it bound only when
+    # the OPTIONAL came first; stat_bound tracks which vars are
+    # statically bound so far, so a var a union arm left unbound in
+    # THIS solution never silently becomes a fresh variable (the
+    # engine's NULL anchor never matches).
+    from shacl_spark.shacl.sparql import _pattern_vars
+
+    binds_list = [{"this": focus}]
+    stat_bound = {"this"}
+    statements = getattr(q, "statements", None) or (
+        [("pattern", p) for p in q.patterns]
+        + [("union", a) for a in getattr(q, "unions", [])]
+        + [("optional", g) for g in getattr(q, "optionals", [])]
+    )
+    for kind, payload in statements:
+        if kind == "pattern":
+            binds_list = extend(binds_list, [payload])
+            stat_bound |= _pattern_vars([payload])
+            continue
+        if kind == "union":
+            nxt = []
+            for b in binds_list:
+                for arm in payload:
+                    if any(
+                        a in stat_bound and a not in b for a in _pattern_vars(arm)
+                    ):
+                        continue  # arm consumes a var this solution
+                        #           left unbound — engine NULL-join
+                    nxt.extend(extend([b], arm))
+            binds_list = nxt
+            for arm in payload:
+                stat_bound |= _pattern_vars(arm)
+            continue
+        # OPTIONAL group: a match extends the binding, a miss leaves it
+        # unchanged (vars unbound) — never a partially-bound prefix; an
+        # anchor left unbound by an earlier union arm fails the group
+        gvars = _pattern_vars(payload)
+        anchors = gvars & stat_bound
         nxt = []
         for b in binds_list:
-            for arm in arms:
-                nxt.extend(extend([b], arm))
-        binds_list = nxt
-    # OPTIONAL groups (mirrors engine): a group that matches extends the
-    # binding; one that doesn't leaves the binding unchanged (its vars
-    # unbound) — never a partially-bound prefix
-    for group in getattr(q, "optionals", []):
-        nxt = []
-        for b in binds_list:
-            exts = extend([b], group)
+            if any(a not in b for a in anchors):
+                nxt.append(b)
+                continue
+            exts = extend([b], payload)
             nxt.extend(exts if exts else [b])
         binds_list = nxt
+        stat_bound |= gvars
 
     # FILTER [NOT] EXISTS groups (r04, mirrors engine semi/anti joins):
     # a solution survives iff the group has >=1 extension under the
     # current bindings == positivity; group-local vars never escape.
-    # Vars statically bound by the outer query but left unbound in this
-    # solution (failed OPTIONAL) make EXISTS false / NOT EXISTS true —
-    # the engine's documented approximation.
-    if getattr(q, "exists", None):
-        from shacl_spark.shacl.sparql import _pattern_vars
+    # Vars statically bound by the outer query (incl. union arms —
+    # review #3) but left unbound in this solution make EXISTS false /
+    # NOT EXISTS true — the engine's documented approximation.
+    for positive, group in getattr(q, "exists", []) or []:
+        anchors = _pattern_vars(group) & stat_bound
 
-        stat_bound = {"this"} | _pattern_vars(q.patterns)
-        for og in getattr(q, "optionals", []):
-            stat_bound |= _pattern_vars(og)
-        for positive, group in q.exists:
-            anchors = _pattern_vars(group) & stat_bound
+        def sat(b):
+            if any(a not in b for a in anchors):
+                return False
+            return bool(extend([b], group))
 
-            def sat(b):
-                if any(a not in b for a in anchors):
-                    return False
-                return bool(extend([b], group))
-
-            binds_list = [b for b in binds_list if sat(b) == positive]
+        binds_list = [b for b in binds_list if sat(b) == positive]
 
     def ev(e, b):
         if isinstance(e, BinOp):

@@ -283,3 +283,23 @@ def test_report_nt_cli_flag(spark, tmp_path):
         tuple("␀" if v is None else v for v in r) for r in df.collect()
     )
     assert canon(back) == canon(expect)
+
+
+def test_writer_null_terms_fail_loudly(spark, tmp_path):
+    """r04 review: a NULL mandatory term must error the write (not emit
+    a shorter parseable-looking line the reader silently drops);
+    on_null='drop' skips such rows explicitly."""
+    import pytest as _pytest
+
+    from shacl_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    rows = [("ex:s", "ex:p", "ex:o", "iri", None, None),
+            (None, "ex:p", "ex:o", "iri", None, None)]
+    df = spark.createDataFrame(
+        rows, "subj string, pred string, obj string, obj_kind string, obj_dt string, obj_lang string"
+    )
+    with _pytest.raises(Exception):
+        write_ntriples(df, str(tmp_path / "bad.nt"))
+    write_ntriples(df, str(tmp_path / "ok.nt"), on_null="drop")
+    back = read_ntriples(spark, str(tmp_path / "ok.nt"))
+    assert [tuple(r)[:3] for r in back.collect()] == [("ex:s", "ex:p", "ex:o")]

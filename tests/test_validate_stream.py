@@ -123,6 +123,7 @@ def test_crash_between_append_and_report(spark, tmp_path):
     b2 = _batch_df(spark, BATCH2)
     applied = sv.sink._compute_delta(b2)
     applied.drop("tid", "part").write.mode("overwrite").parquet(sv._delta_dir(1))
+    open(os.path.join(sv._delta_dir(1), f"_fp_{sv._batch_fp(b2)}"), "w").close()
     sv.sink._append(applied)
     assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
     assert len(sv._versions()) == 1  # report is behind the target
@@ -152,9 +153,41 @@ def test_crash_between_journal_and_append(spark, tmp_path):
     b2 = _batch_df(spark, BATCH2)
     applied = sv.sink._compute_delta(b2)
     applied.drop("tid", "part").write.mode("overwrite").parquet(sv._delta_dir(1))
+    open(os.path.join(sv._delta_dir(1), f"_fp_{sv._batch_fp(b2)}"), "w").close()
     # crash: no append, no report
 
     sv._on_batch(b2, 1)
     assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
     full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2), SHAPES)
     assert _canon(sv.current_report()) == _canon(full)
+
+
+def test_restarted_stream_epoch_id_collision(spark, tmp_path):
+    """r04 review: a stream restarted WITHOUT a checkpoint location
+    numbers epochs from 0 again — a journal/marker keyed only by epoch
+    id would swallow the new batch.  The content fingerprint must route
+    the colliding epoch to the normal path."""
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "t"), str(tmp_path / "r"), n_parts=4
+    )
+    sv._on_batch(_batch_df(spark, BATCH1), 0)
+    n1 = len(sv._versions())
+
+    # leave a stale committed journal for epoch 0 (crash before report,
+    # journal never pruned), then "restart": DIFFERENT data as epoch 0
+    b1 = _batch_df(spark, BATCH1)
+    applied = sv.sink._compute_delta(b1)  # empty — batch already merged
+    stale = _batch_df(spark, BATCH1)
+    stale.limit(1).write.mode("overwrite").parquet(sv._delta_dir(0))
+    open(os.path.join(sv._delta_dir(0), "_fp_STALE"), "w").close()
+
+    sv._on_batch(_batch_df(spark, BATCH2), 0)  # new content, reused id
+    assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
+    full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2), SHAPES)
+    assert _canon(sv.current_report()) == _canon(full)
+    assert len(sv._versions()) == n1 + 1
+
+    # and an exact REPLAY of the completed batch is still a no-op
+    nv = len(sv._versions())
+    sv._on_batch(_batch_df(spark, BATCH2), 0)
+    assert len(sv._versions()) == nv
