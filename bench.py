@@ -182,20 +182,28 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
 
         from shacl_spark.streaming.validate_stream import StreamingValidator
 
-        sdir = tempfile.mkdtemp(prefix="bench_stream_", dir="/dev/shm")
-        try:
-            sv = StreamingValidator(
-                spark, shapes, os.path.join(sdir, "t"), os.path.join(sdir, "r"),
-                n_parts=32,
-            )
-            six = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
-            sv._on_batch(base.select(six), 0)  # seed the target (epoch 0)
-            s0 = time.time()
-            sv._on_batch(delta.select(six), 1)
-            out["stream_validate_batch_sec"] = round(time.time() - s0, 2)
-            out["stream_report_rows"] = sv.current_report().count()
-        finally:
-            shutil.rmtree(sdir, ignore_errors=True)
+        # a completed epoch replays as a no-op (by design), so warm
+        # cannot reuse one state dir — run the whole scenario twice in
+        # fresh dirs and keep the min (single-shot captures on this VM
+        # sit inside the documented ±50% steal band)
+        stream_runs = []
+        for _attempt in range(2):
+            sdir = tempfile.mkdtemp(prefix="bench_stream_", dir="/dev/shm")
+            try:
+                sv = StreamingValidator(
+                    spark, shapes, os.path.join(sdir, "t"), os.path.join(sdir, "r"),
+                    n_parts=32,
+                )
+                six = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+                sv._on_batch(base.select(six), 0)  # seed the target (epoch 0)
+                s0 = time.time()
+                sv._on_batch(delta.select(six), 1)
+                stream_runs.append(time.time() - s0)
+                out["stream_report_rows"] = sv.current_report().count()
+            finally:
+                shutil.rmtree(sdir, ignore_errors=True)
+        out["stream_validate_batch_sec"] = round(min(stream_runs), 2)
+        out["stream_validate_runs"] = [round(t, 2) for t in stream_runs]
         base.unpersist()
         delta.unpersist()
 
