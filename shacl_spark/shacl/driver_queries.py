@@ -547,6 +547,53 @@ SELECT f AS focus, {_res("'(ex:reportsTo)*'", "v", "ClassConstraintComponent")}
 FROM viol""",
 )
 
+_q(
+    "shacl_path_oneormore_zeroorone",
+    # D6 + D7 get an oracle-backed row (r04): (p)+ values exclude the
+    # focus itself (vs the (p)* query above), (p)? values are self plus
+    # at most one step — nodeKind IRI passes the IRI focus and flags
+    # the literal backup values
+    [
+        ("ex:S1", T, SH + "NodeShape"),
+        ("ex:S1", SH + "targetClass", "ex:Employee"),
+        ("ex:S1", SH + "property", "ex:S1P"),
+        ("ex:S1P", SH + "path", "ex:plus"),
+        ("ex:plus", SH + "oneOrMorePath", "ex:reportsTo"),
+        ("ex:S1P", SH + "class", "ex:Agent"),
+        ("ex:S2", T, SH + "NodeShape"),
+        ("ex:S2", SH + "targetSubjectsOf", "ex:backup"),
+        ("ex:S2", SH + "property", "ex:S2P"),
+        ("ex:S2P", SH + "path", "ex:opt"),
+        ("ex:opt", SH + "zeroOrOnePath", "ex:backup"),
+        ("ex:S2P", SH + "nodeKind", SH + "IRI"),
+    ],
+    f"""WITH RECURSIVE {_closure_cte("ex:Agent")},
+esub AS (SELECT 'ex:Employee' AS c
+         UNION
+         SELECT t.subj FROM t, esub WHERE t.pred = '{SCO}' AND t.obj = esub.c),
+focus AS (SELECT DISTINCT subj AS f FROM t
+          WHERE pred = '{T}' AND obj IN (SELECT c FROM esub)),
+chain AS (
+  SELECT f.f, t.obj AS v FROM focus f
+  JOIN t ON t.subj = f.f AND t.pred = 'ex:reportsTo'
+  UNION
+  SELECT c.f, t.obj FROM chain c
+  JOIN t ON t.subj = c.v AND t.pred = 'ex:reportsTo'),
+bfocus AS (SELECT DISTINCT subj AS f FROM t WHERE pred = 'ex:backup'),
+bvals AS (
+  SELECT f AS f, f AS v, 'iri' AS k FROM bfocus
+  UNION ALL
+  SELECT b.f, t.obj, t.obj_kind FROM bfocus b
+  JOIN t ON t.subj = b.f AND t.pred = 'ex:backup')
+SELECT DISTINCT f AS focus,
+       {_res("'(ex:reportsTo)+'", "v", "ClassConstraintComponent")}
+FROM chain WHERE v NOT IN (SELECT subj FROM inst)
+UNION
+SELECT DISTINCT f AS focus,
+       {_res("'(ex:backup)?'", "v", "NodeKindConstraintComponent")}
+FROM bvals WHERE k != 'iri'""",
+)
+
 # === C: targets ===============================================================
 
 _q(

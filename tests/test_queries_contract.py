@@ -35,8 +35,13 @@ def test_driver_window_composition():
     in-window entry must carry an oracle unless it is one of the
     documented rows-only ops."""
     window = list(QUERIES)[: entrymod.DRIVER_WINDOW]
-    shacl = [n for n in QUERIES if n.startswith("shacl_")]
+    shacl = [
+        n for n in QUERIES
+        if n.startswith("shacl_") and n not in entrymod._POST_WINDOW_SHACL
+    ]
     assert set(shacl) <= set(window), sorted(set(shacl) - set(window))
+    # post-window shacl entries stay registered (contract-hash-checked)
+    assert entrymod._POST_WINDOW_SHACL <= set(QUERIES)
     assert "kg_extract_documents" in window
     assert set(entrymod._PRIORITY_BASE) <= set(window)
     # r04: no rows-only entries left in the window — ann_lsh_topk got a
