@@ -103,13 +103,20 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    small = (
-        sig.groupBy("band_id", "band_hash")
-        .agg(F.count("*").alias("n"))
+    # window-count bucket cap on ONE shuffle (not groupBy + semi-join),
+    # and an eager checkpoint so the Arrow minhash stage runs once and
+    # both self-join sides reuse the (band_id, band_hash) partitioning
+    # (r04, same pass as kg/minhash.candidate_pairs)
+    from pyspark.sql import Window as W
+
+    sig = (
+        sig.withColumn(
+            "n", F.count("*").over(W.partitionBy("band_id", "band_hash"))
+        )
         .where(F.col("n") <= max_bucket)
         .drop("n")
+        .localCheckpoint(eager=True)
     )
-    sig = sig.join(small, ["band_id", "band_hash"], "left_semi")
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(
