@@ -28,6 +28,10 @@ def main(argv=None) -> int:
     p.add_argument("--report", required=True)
     p.add_argument("--n-parts", dest="n_parts", type=int, default=16)
     p.add_argument("--follow", action="store_true")
+    # r04: CDC feeds with retractions — stream rows carry an extra
+    # 'op' column ('+' upsert / '-' delete); the target becomes a
+    # merge-on-read tombstone table and deletes seed revalidation
+    p.add_argument("--cdc", action="store_true")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -41,10 +45,17 @@ def main(argv=None) -> int:
     spark = get_spark("validate_stream", master=args.master)
     sv = StreamingValidator(
         spark, _read_shapes_rows(spark, args.shapes), args.target, args.report,
-        n_parts=args.n_parts,
+        n_parts=args.n_parts, cdc=args.cdc,
     )
+    schema = TRIPLE_SCHEMA
+    if args.cdc:
+        from pyspark.sql import types as T
+
+        schema = T.StructType(
+            list(TRIPLE_SCHEMA.fields) + [T.StructField("op", T.StringType(), False)]
+        )
     stream = (
-        spark.readStream.schema(TRIPLE_SCHEMA)
+        spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", 1)
         .parquet(args.stream)
     )

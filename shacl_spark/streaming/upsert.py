@@ -124,3 +124,131 @@ class TripleUpsertSink:
         if trigger_available_now:
             writer = writer.trigger(availableNow=True)
         return writer.start()
+
+
+class TombstoneTripleSink:
+    """CDC upsert WITH DELETES (r04): merge-on-read tombstones.
+
+    The append-only :class:`TripleUpsertSink` models adds-only feeds;
+    real CDC streams retract.  Here each batch row carries an ``op``
+    column (``'+'`` upsert / ``'-'`` delete) and the target stays
+    APPEND-ONLY anyway: every accepted change is written as
+    ``(triple, op, seq=epoch)`` into the same hash-partitioned layout,
+    and :meth:`current` reconstructs the live set by keeping the
+    highest-``seq`` op per triple identity and filtering to ``'+'`` —
+    the merge-on-read shape (Hudi/Iceberg MOR); on a real table a
+    background compaction folds tombstones, here :meth:`compact` does.
+
+    Scale: merges stay O(batch + touched partitions) via partition
+    pruning exactly like the adds-only sink; the read side pays one
+    window over the touched data (compaction amortizes it away).
+
+    Within one batch, ``'-'`` wins over ``'+'`` for the same triple
+    (net effect of a same-batch add+retract is absence) — documented
+    determinism, not an ordering guess."""
+
+    def __init__(self, spark: SparkSession, target_dir: str, n_parts: int = 16):
+        self.spark = spark
+        self.target_dir = target_dir
+        self.n_parts = n_parts
+
+    def _part(self):
+        return F.pmod(F.xxhash64(F.col("tid")), F.lit(self.n_parts)).cast("int")
+
+    def _read_target(self) -> DataFrame | None:
+        if not os.path.isdir(self.target_dir):
+            return None
+        if not any(f.startswith("part=") for f in os.listdir(self.target_dir)):
+            return None
+        return self.spark.read.parquet(self.target_dir)
+
+    @staticmethod
+    def _latest(df: DataFrame) -> DataFrame:
+        """Keep the highest-seq row per triple identity; op DESC on seq
+        ties so ``'-'`` wins ('-' > '+' in ASCII — a crash-replayed
+        append only ever duplicates (tid, seq) with the SAME op, so
+        ties are equal-op duplicates or a same-batch +/- pair)."""
+        from pyspark.sql import Window as W
+
+        df = df.withColumn("tid", triple_id())
+        w = W.partitionBy("tid").orderBy(F.desc("seq"), F.desc("op"))
+        return (
+            df.withColumn("__rn", F.row_number().over(w))
+            .where(F.col("__rn") == 1)
+            .drop("__rn")
+        )
+
+    def current(self) -> DataFrame:
+        """The live triple set (6-column frame)."""
+        existing = self._read_target()
+        if existing is None:
+            return self.spark.createDataFrame([], TRIPLE_SCHEMA)
+        live = self._latest(existing).where(F.col("op") == "+")
+        return live.drop("op", "seq", "part", "tid")
+
+    def _compute_delta(self, batch: DataFrame, epoch_id: int):
+        """(applied, added, removed): ``applied`` carries tid/part/op/seq
+        rows to append; ``added``/``removed`` are 6-column frames of the
+        NET state changes (the incremental validator's ``changed``)."""
+        batch = batch.withColumn("tid", triple_id())
+        # net op per tid within the batch: '-' wins (max in ASCII)
+        net = (
+            batch.groupBy("tid")
+            .agg(F.max("op").alias("op"))
+        )
+        rows = batch.drop("op").dropDuplicates(["tid"]).join(net, "tid")
+        rows = rows.withColumn("part", self._part())
+        existing = self._read_target()
+        if existing is None:
+            live_tids = self.spark.createDataFrame([], "tid string")
+        else:
+            touched = [r["part"] for r in rows.select("part").distinct().collect()]
+            pruned = existing.where(F.col("part").isin(touched)) if touched else existing.limit(0)
+            live_tids = (
+                self._latest(pruned).where(F.col("op") == "+").select("tid")
+            )
+        adds = rows.where(F.col("op") == "+").join(live_tids, "tid", "left_anti")
+        removes = rows.where(F.col("op") == "-").join(live_tids, "tid", "left_semi")
+        applied = (
+            adds.unionByName(removes)
+            .withColumn("seq", F.lit(epoch_id).cast("long"))
+            .localCheckpoint(eager=True)
+        )
+        six = [f.name for f in TRIPLE_SCHEMA.fields]
+        return (
+            applied,
+            applied.where(F.col("op") == "+").select(six),
+            applied.where(F.col("op") == "-").select(six),
+        )
+
+    def _append(self, applied: DataFrame) -> None:
+        (
+            applied.drop("tid")
+            .write.mode("append")
+            .partitionBy("part")
+            .parquet(self.target_dir)
+        )
+
+    def _merge_batch(self, batch: DataFrame, epoch_id: int) -> DataFrame:
+        """Merge one op-tagged micro-batch; returns the NET change rows
+        (6-column; additions and removals — both seed revalidation)."""
+        applied, added, removed = self._compute_delta(batch, epoch_id)
+        self._append(applied)
+        return added.unionByName(removed)
+
+    def compact(self) -> None:
+        """Fold tombstones: rewrite the target to only the live rows
+        (the background-compaction step a MOR table runs; after it the
+        read-side window is over singleton groups)."""
+        existing = self._read_target()
+        if existing is None:
+            return
+        live = self._latest(existing).where(F.col("op") == "+").localCheckpoint(
+            eager=True
+        )
+        import shutil as _shutil
+
+        _shutil.rmtree(self.target_dir, ignore_errors=True)
+        live.drop("tid").write.mode("overwrite").partitionBy("part").parquet(
+            self.target_dir
+        )

@@ -31,7 +31,9 @@ distinguishes the three crash windows:
   commit can leave committed duplicate files — ``current(dedup=True)``
   collapses them, so the recovery never validates a duplicated graph).
 
-Adds-only stream (the upsert target is append-only); on a
+Adds-only by default (append-only upsert target); ``cdc=True`` (r04)
+switches to the merge-on-read tombstone sink so batches may RETRACT
+triples ('op' column) and removals seed revalidation too.  On a
 Delta/Iceberg cluster the same loop runs against MERGE + snapshot
 reads.
 """
@@ -60,14 +62,26 @@ class StreamingValidator:
         target_dir: str,
         report_dir: str,
         n_parts: int = 16,
+        cdc: bool = False,
     ):
+        """``cdc=True`` (r04) switches the target to the tombstone sink:
+        batches carry an ``op`` column ('+' upsert / '-' delete) and
+        both additions AND retractions seed incremental revalidation —
+        a removed triple can clear violations or create new ones
+        (minCount)."""
         self.spark = spark
         self.shapes: ShapesGraph = (
             shapes_rows_or_graph
             if isinstance(shapes_rows_or_graph, ShapesGraph)
             else parse_shapes_graph(shapes_rows_or_graph)
         )
-        self.sink = TripleUpsertSink(spark, target_dir, n_parts=n_parts)
+        self.cdc = cdc
+        if cdc:
+            from shacl_spark.streaming.upsert import TombstoneTripleSink
+
+            self.sink = TombstoneTripleSink(spark, target_dir, n_parts=n_parts)
+        else:
+            self.sink = TripleUpsertSink(spark, target_dir, n_parts=n_parts)
         self.report_dir = report_dir
 
     # --- report versions --------------------------------------------------------
@@ -108,11 +122,16 @@ class StreamingValidator:
         batch (r04 review finding #1)."""
         from shacl_spark.functions.terms import triple_id
 
+        key = (
+            F.concat(triple_id(), F.col("op"))
+            if "op" in batch.columns
+            else triple_id()
+        )
         row = batch.select(
             F.count("*").alias("n"),
             # decimal accumulator: a plain long sum of 2^63-range
             # hashes overflows under ANSI mode
-            F.sum(F.xxhash64(triple_id()).cast("decimal(38,0)")).alias("s"),
+            F.sum(F.xxhash64(key).cast("decimal(38,0)")).alias("s"),
         ).collect()[0]
         return f"{row['n']}_{row['s']}"
 
@@ -148,22 +167,32 @@ class StreamingValidator:
         # a committed journal is authoritative ONLY for the same batch
         # content: a restarted (checkpoint-less) stream reuses epoch
         # ids, and that collision must fall through to the normal path
+        six = [f.name for f in TRIPLE_SCHEMA.fields]
         if self._journal_fp(epoch_id) == fp:
             if self._report_marks_epoch(epoch_id, fp):
                 return  # target + report both committed for this batch
             # crash landed between the journal write and the report
             # write: the journalled delta is authoritative
-            delta = self.spark.read.schema(TRIPLE_SCHEMA).parquet(
-                self._delta_dir(epoch_id)
-            )
-            remainder = self.sink._compute_delta(delta)
-            if not remainder.isEmpty():
-                self.sink._append(remainder)
-            report = incremental_revalidate(
-                self.spark,
+            if self.cdc:
+                journal = self.spark.read.parquet(self._delta_dir(epoch_id))
+                # re-appending (tid, seq, op) rows already present is
+                # idempotent under merge-on-read (equal-op seq ties)
+                self.sink._append(journal)
+                delta = journal.select(six)
+                triples = self.sink.current()
+            else:
+                delta = self.spark.read.schema(TRIPLE_SCHEMA).parquet(
+                    self._delta_dir(epoch_id)
+                )
+                remainder = self.sink._compute_delta(delta)
+                if not remainder.isEmpty():
+                    self.sink._append(remainder)
                 # a crash during the append's job commit can leave
                 # committed duplicates — collapse them before validating
-                self.sink.current(dedup=True),
+                triples = self.sink.current(dedup=True)
+            report = incremental_revalidate(
+                self.spark,
+                triples,
                 delta,
                 self.shapes,
                 self.current_report(),
@@ -171,17 +200,26 @@ class StreamingValidator:
             )
             self._write_report(report, epoch_id, fp)
             return
-        applied = self.sink._compute_delta(batch)
-        if applied.isEmpty():
-            return  # fully-duplicate batch (or completed epoch whose
-            #         journal was already pruned): report stands
-        delta = applied.drop("tid", "part")
+        if self.cdc:
+            applied, added, removed = self.sink._compute_delta(batch, epoch_id)
+            if applied.isEmpty():
+                return
+            delta = added.unionByName(removed)
+            journal = applied.drop("tid")
+        else:
+            applied = self.sink._compute_delta(batch)
+            if applied.isEmpty():
+                return  # fully-duplicate batch (or completed epoch whose
+                #         journal was already pruned): report stands
+            delta = applied.drop("tid", "part")
+            journal = delta
         # durable journal FIRST: if the process dies after the target
         # append below, the replay still knows exactly what was applied;
         # the fingerprint file attributes it to THIS batch's content
-        delta.write.mode("overwrite").parquet(self._delta_dir(epoch_id))
+        journal.write.mode("overwrite").parquet(self._delta_dir(epoch_id))
         open(os.path.join(self._delta_dir(epoch_id), f"_fp_{fp}"), "w").close()
         self.sink._append(applied)
+        cur = self.sink.current() if self.cdc else self.sink.current(dedup=False)
         if not self._versions():
             # first batch: there is nothing to merge and the delta IS
             # the graph — a plain full validation gives the identical
@@ -189,16 +227,14 @@ class StreamingValidator:
             # node (r04; matters when a stream starts from a bulk load)
             from shacl_spark.shacl import validate
 
-            report = validate(
-                self.spark, self.sink.current(dedup=False), self.shapes,
-                assume_distinct=True,
-            )
+            report = validate(self.spark, cur, self.shapes, assume_distinct=True)
         else:
             report = incremental_revalidate(
                 self.spark,
-                # the upsert target is append-only and per-batch deduped
-                # on triple identity — skip the defensive re-dedup scan
-                self.sink.current(dedup=False),
+                # append-only target is per-batch deduped on triple
+                # identity (and the tombstone read is one-row-per-tid)
+                # — skip the defensive re-dedup scan
+                cur,
                 delta,
                 self.shapes,
                 self.current_report(),

@@ -191,3 +191,92 @@ def test_restarted_stream_epoch_id_collision(spark, tmp_path):
     nv = len(sv._versions())
     sv._on_batch(_batch_df(spark, BATCH2), 0)
     assert len(sv._versions()) == nv
+
+
+def _op_batch(spark, rows_with_op):
+    from pyspark.sql import functions as F
+
+    rows = [r[0] for r in rows_with_op]
+    ops = [r[1] for r in rows_with_op]
+    df = triples_from_rows(spark, rows).select(SIX)
+    tagged = df.limit(0).withColumn("op", F.lit("+"))
+    for row, op in zip(rows, ops):
+        tagged = tagged.unionByName(
+            triples_from_rows(spark, [row]).select(SIX).withColumn("op", F.lit(op))
+        )
+    return tagged
+
+
+def test_tombstone_sink_merge_on_read(spark, tmp_path):
+    """r04 CDC-with-deletes sink: live set = highest-seq op per triple
+    identity filtered to '+'; same-batch +/- nets to '-'; replay and
+    compaction preserve the state."""
+    from shacl_spark.streaming.upsert import TombstoneTripleSink
+
+    sink = TombstoneTripleSink(spark, str(tmp_path / "t"), n_parts=4)
+    t1 = ("ex:a", "ex:p", "1", "literal", XSD + "string")
+    t2 = ("ex:b", "ex:p", "2", "literal", XSD + "string")
+    t3 = ("ex:c", "ex:p", "3", "literal", XSD + "string")
+
+    ch1 = sink._merge_batch(_op_batch(spark, [(t1, "+"), (t2, "+"),
+                                              (t3, "+"), (t3, "-")]), 0)
+    assert ch1.count() == 2  # t3 nets to '-' on an empty target: no-op
+    live = {r["subj"] for r in sink.current().collect()}
+    assert live == {"ex:a", "ex:b"}
+
+    ch2 = sink._merge_batch(_op_batch(spark, [(t1, "-"), (t3, "+"),
+                                              (t2, "+")]), 1)
+    # t1 removed (was live), t3 added, t2 already live -> no-op
+    assert {(r["subj"]) for r in ch2.collect()} == {"ex:a", "ex:c"}
+    assert {r["subj"] for r in sink.current().collect()} == {"ex:b", "ex:c"}
+
+    # epoch replay: same batch, same seq -> merge computes an empty
+    # net delta (t1 already dead, t3 already live, t2 live)
+    ch2b = sink._merge_batch(_op_batch(spark, [(t1, "-"), (t3, "+"),
+                                               (t2, "+")]), 1)
+    assert ch2b.isEmpty()
+    assert {r["subj"] for r in sink.current().collect()} == {"ex:b", "ex:c"}
+
+    sink.compact()
+    assert {r["subj"] for r in sink.current().collect()} == {"ex:b", "ex:c"}
+    # re-add after a compacted delete works
+    sink._merge_batch(_op_batch(spark, [(t1, "+")]), 2)
+    assert {r["subj"] for r in sink.current().collect()} == {"ex:a", "ex:b", "ex:c"}
+
+
+def test_cdc_stream_validation_with_deletes(spark, tmp_path):
+    """CDC mode: retractions seed revalidation — a deleted name CREATES
+    a minCount violation, a deleted bad-typed edge CLEARS one; final
+    report equals full validation of the live set."""
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "t"), str(tmp_path / "r"),
+        n_parts=4, cdc=True,
+    )
+    base = [
+        (("ex:a", RDF + "type", "ex:Person"), "+"),
+        (("ex:a", "ex:name", "A", "literal", XSD + "string"), "+"),
+        (("ex:b", RDF + "type", "ex:Person"), "+"),
+        (("ex:b", "ex:name", "B", "literal", XSD + "string"), "+"),
+        (("ex:a", "ex:knows", "ex:rock"), "+"),   # untyped -> violation
+    ]
+    sv._on_batch(_op_batch(spark, base), 0)
+    got0 = {(r["focus"], r["component"].split("#")[-1])
+            for r in sv.current_report().collect()}
+    assert got0 == {("ex:a", "ClassConstraintComponent")}
+
+    delta = [
+        (("ex:b", "ex:name", "B", "literal", XSD + "string"), "-"),  # new minCount viol
+        (("ex:a", "ex:knows", "ex:rock"), "-"),                      # clears sh:class viol
+    ]
+    sv._on_batch(_op_batch(spark, delta), 1)
+    live_rows = [tuple(r) for r in sv.sink.current().collect()]
+    full = validate(spark, sv.sink.current(), SHAPES)
+    assert _canon(sv.current_report()) == _canon(full)
+    got1 = {(r["focus"], r["component"].split("#")[-1])
+            for r in sv.current_report().collect()}
+    assert got1 == {("ex:b", "MinCountConstraintComponent")}
+
+    # replay is a no-op
+    nv = len(sv._versions())
+    sv._on_batch(_op_batch(spark, delta), 1)
+    assert len(sv._versions()) == nv
