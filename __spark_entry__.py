@@ -1710,8 +1710,17 @@ _KG_XSD_STRING = "http://www.w3.org/2001/XMLSchema#string"
 _KG_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
 
 
-@q(
-    "kg_canonicalize",
+_KG_CANON_SELECT = """SELECT DISTINCT
+              COALESCE(sm.canonical, t.subj) AS subj,
+              t.pred,
+              CASE WHEN t.obj_kind = 'iri' THEN COALESCE(om.canonical, t.obj) ELSE t.obj END AS obj,
+              t.obj_kind, t.obj_dt, t.obj_lang
+       FROM triples t
+       LEFT JOIN cmap sm ON t.subj = sm.id
+       LEFT JOIN cmap om ON t.obj = om.id"""
+
+
+_KG_CANON_ORACLE = (
     # The real A7-A12 path is oracle-able because the match graph is
     # provably exact here: within a cluster the three name variants
     # share an IDENTICAL normalized form (minhash shingles the
@@ -1749,26 +1758,16 @@ _KG_RDF_TYPE = "http://www.w3.org/1999/02/22-rdf-syntax-ns#type"
        norms AS (SELECT id, regexp_replace(lower(name), '[^a-z0-9]', '', 'g') AS nm FROM entities),
        canon AS (SELECT nm, MIN(id) AS canonical FROM norms GROUP BY nm),
        cmap AS (SELECT n.id, c.canonical FROM norms n JOIN canon c USING (nm) WHERE n.id <> c.canonical)
-       SELECT DISTINCT
-              COALESCE(sm.canonical, t.subj) AS subj,
-              t.pred,
-              CASE WHEN t.obj_kind = 'iri' THEN COALESCE(om.canonical, t.obj) ELSE t.obj END AS obj,
-              t.obj_kind, t.obj_dt, t.obj_lang
-       FROM triples t
-       LEFT JOIN cmap sm ON t.subj = sm.id
-       LEFT JOIN cmap om ON t.obj = om.id""".replace("{XSD}", _KG_XSD_STRING).replace(
+       {CANON_SELECT}""".replace("{XSD}", _KG_XSD_STRING).replace(
         "{TYPE}", _KG_RDF_TYPE
-    ),
+    ).replace("{CANON_SELECT}", _KG_CANON_SELECT)
 )
-def kg_canonicalize(spark, sf_dir):
-    """Driver-green canonicalization (A7 shingle+minhash, A8 LSH
-    banding, A9 pandas-UDF Jaccard scorer, A10 connected components,
-    A11 canonical rewrite, A12 dedup) through the REAL
-    kg/canon.py:canonicalize path over a documents-derived entity
-    corpus with engineered case/punctuation name variants
-    ("WidgetaaaMaker" / "widget_aaa_maker" / "WIDGET-aaa-MAKER")."""
-    from shacl_spark.kg.canon import canonicalize
 
+
+def _kg_canon_corpus(spark, sf_dir):
+    """The engineered entity corpus kg_canonicalize and
+    kg_materialize_nodes share: documents-derived triples whose symbol
+    names come in three case/punctuation variants per cluster."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 300)
     l3 = F.repeat(
         F.expr("substring('abcdefghijklmnopqrstuvwxyz', cast(doc_id % 26 as int) + 1, 1)"),
@@ -1807,8 +1806,48 @@ def kg_canonicalize(spark, sf_dir):
             row(doc, "kg:mentions", F.concat(F.lit("kg:mention/"), F.col("name")), "iri")
         )
     )
-    out = canonicalize(corpus)
+    return corpus
+
+
+@q("kg_canonicalize", _KG_CANON_ORACLE)
+def kg_canonicalize(spark, sf_dir):
+    """Driver-green canonicalization (A7 shingle+minhash, A8 LSH
+    banding, A9 pandas-UDF Jaccard scorer, A10 connected components,
+    A11 canonical rewrite, A12 dedup) through the REAL
+    kg/canon.py:canonicalize path over a documents-derived entity
+    corpus with engineered case/punctuation name variants
+    ("WidgetaaaMaker" / "widget_aaa_maker" / "WIDGET-aaa-MAKER")."""
+    from shacl_spark.kg.canon import canonicalize
+
+    out = canonicalize(_kg_canon_corpus(spark, sf_dir))
     return out.select("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang")
+
+
+@q(
+    "kg_materialize_nodes",
+    # A13's (non-Iceberg) node-table materialization gets a hash row
+    # (r04): distinct IRIs of the CANONICALIZED graph with sorted
+    # rdf:type label arrays — the oracle nests the full canonicalize
+    # twin as a CTE
+    f"""WITH rew AS ({{CANON}}),
+       nodes AS (SELECT subj AS iri FROM rew
+                 UNION
+                 SELECT obj FROM rew WHERE obj_kind = 'iri'),
+       types AS (SELECT subj AS iri, list_sort(list(DISTINCT obj)) AS t
+                 FROM rew WHERE pred = '{_KG_RDF_TYPE}' GROUP BY subj)
+       SELECT n.iri, COALESCE(t.t, CAST([] AS VARCHAR[])) AS types
+       FROM nodes n LEFT JOIN types t USING (iri)""".replace(
+        "{CANON}", _KG_CANON_ORACLE
+    ),
+)
+def kg_materialize_nodes(spark, sf_dir):
+    """A13 node-table materialization over the canonicalized engineered
+    corpus, through the REAL kg/materialize.py:node_table path."""
+    from shacl_spark.kg.canon import canonicalize
+    from shacl_spark.kg.materialize import node_table
+
+    out = canonicalize(_kg_canon_corpus(spark, sf_dir))
+    return node_table(out).select("iri", "types")
 
 
 @q(
