@@ -146,6 +146,11 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         out["canon_runs"] = [round(t, 2) for t in times_c]
         out["cc_iterations"] = cc_stats.get("iterations", 0)
         out["cc_frontier"] = cc_stats.get("frontier", [])
+        # bucket-cap observability (VERDICT r04 #4): the LSH max_bucket
+        # drop is counted by observe() inside candidate_pairs — a capped
+        # hub bucket shows up HERE, never as a silently-empty match graph
+        for k in ("lsh_dropped_rows", "lsh_dropped_buckets", "lsh_max_bucket_seen"):
+            out[k] = cc_stats.get(k, 0)
         # incremental revalidation at CDC rates: +100 files over the
         # 20k-file corpus — work must scale with |delta|, not |graph|
         from pyspark.sql import functions as F

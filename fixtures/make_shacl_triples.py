@@ -107,6 +107,16 @@ def build_rows() -> list[tuple]:
         if i % 5 == 4:
             t(p, "ex:knows", f"ex:p{(i + 5) % 40}")
 
+        # planted sh:class violations on Employee targets (r05: the
+        # driver row was vacuous — every Employee's knows-objects fell
+        # inside the Person closure, so both engines emitted 0 rows and
+        # the hash match proved nothing): p10 knows a Robot (IRI outside
+        # the closure), p20 knows a plain literal (non-resource branch)
+        if i == 10:
+            t(p, "ex:knows", "ex:p14")  # p14 is typed ex:Robot
+        if i == 20:
+            t(p, "ex:knows", f"mascot{i}", "literal", STR)
+
         # worksFor: 2/3 of persons; org index cycles over 4 (org3 has no city)
         if i % 3 != 1:
             t(p, "ex:worksFor", f"ex:org{i % 4}")

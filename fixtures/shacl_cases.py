@@ -674,6 +674,35 @@ case("sparql_exists_chain",
        "FILTER EXISTS { ?this ex:knows ?k . ?k ex:managerOf ?m } }",
        "literal", XS + "string")])
 
+# anchor-less EXISTS (ADVICE r04): the group shares NO variable with
+# the outer query — a constant existence test deciding keep-all vs
+# drop-all.  Here a global 'frozen' flag suppresses every violation.
+case("sparql_exists_anchorless",
+     [("ex:a", T, "ex:Node"), ("ex:a", "ex:bad", "1", "literal", XS + "string"),
+      ("ex:b", T, "ex:Node"),
+      ("ex:sys", "ex:frozen", "true", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Node"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this WHERE { "
+       "?this ex:bad ?v . "
+       "FILTER NOT EXISTS { ?x ex:frozen ?f } }",
+       "literal", XS + "string")])
+
+# the positive twin over data WITHOUT the flag: EXISTS on an absent
+# anchor-less group drops every solution
+case("sparql_exists_anchorless_empty",
+     [("ex:a", T, "ex:Node"), ("ex:a", "ex:bad", "1", "literal", XS + "string")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Node"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this WHERE { "
+       "?this ex:bad ?v . "
+       "FILTER EXISTS { ?x ex:frozen ?f } }",
+       "literal", XS + "string")])
+
 # ---- UNION (r04): arms may bind different vars/kinds; a solution
 # comes from ANY arm; vars missing from the matching arm stay unbound.
 case("sparql_union",

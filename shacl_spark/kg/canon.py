@@ -68,7 +68,8 @@ def build_component_map(
     reps = names.groupBy("name").agg(F.min("id").alias("rep"))
     distinct_names = reps.select(F.col("rep").alias("id"), "name")
     pairs = candidate_pairs(
-        distinct_names, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket
+        distinct_names, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket,
+        stats=cc_stats,
     )
     matches = score_pairs(pairs, threshold=threshold)
     # the ITERATIVE algorithm runs only on the rep-level near-dup graph

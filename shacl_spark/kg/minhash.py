@@ -156,17 +156,21 @@ def candidate_pairs(
     bands: int = 16,
     shingle_k: int = 3,
     max_bucket: int = 64,
+    stats: dict | None = None,
 ) -> DataFrame:
     """LSH blocking: ids sharing any band bucket → candidate pairs
     DF[id_a, id_b, name_a, name_b] with id_a < id_b.
 
     ``max_bucket`` caps degenerate buckets (hub surface forms): buckets
-    larger than the cap are dropped rather than exploding quadratically;
-    the drop is observable via the returned frame's metrics column
-    upstream (callers should log it — no silent truncation at scale,
-    SURVEY.md §7 Stage 4).
+    larger than the cap are dropped rather than exploding quadratically.
+    The drop is NEVER silent (SURVEY.md §7 "no silent truncation"; the
+    r03 incident was this exact cap silently emptying the match graph):
+    pass ``stats`` and it receives ``lsh_dropped_rows`` (exploded
+    (id, band) rows in over-cap buckets), ``lsh_dropped_buckets`` and
+    ``lsh_max_bucket_seen`` — measured by ``observe()`` on the same
+    single pass that the cap filter runs in (zero extra jobs).
     """
-    from pyspark.sql import Window as W
+    from pyspark.sql import Observation, Window as W
 
     rows = n_hashes // bands
     sig = (
@@ -188,14 +192,32 @@ def candidate_pairs(
     # ONCE instead of once per self-join side and (b) leaves the frame
     # hash-partitioned on (band_id, band_hash), which is exactly the
     # self-join key — no further exchange (r04 perf pass).
+    dropped = F.col("bn") > max_bucket
+    obs = Observation("lsh_bucket_cap")
     sig = (
         sig.withColumn(
             "bn", F.count("*").over(W.partitionBy("band_id", "band_hash"))
         )
-        .where(F.col("bn") <= max_bucket)
+        .observe(
+            obs,
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
+            # each over-cap bucket contributes bn rows each weighted
+            # 1/bn — sums to exactly one per bucket (observe() forbids
+            # DISTINCT aggregates, so count_distinct is unavailable)
+            F.sum(F.when(dropped, 1.0 / F.col("bn")).otherwise(0.0)).alias(
+                "dropped_buckets"
+            ),
+            F.max("bn").alias("max_bucket_seen"),
+        )
+        .where(~dropped)
         .drop("bn")
         .localCheckpoint(eager=True)
     )
+    if stats is not None:
+        got = obs.get  # the eager checkpoint above already ran the job
+        stats["lsh_dropped_rows"] = int(got["dropped_rows"] or 0)
+        stats["lsh_dropped_buckets"] = int(round(got["dropped_buckets"] or 0.0))
+        stats["lsh_max_bucket_seen"] = int(got["max_bucket_seen"] or 0)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

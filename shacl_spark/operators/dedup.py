@@ -83,9 +83,13 @@ def minhash_lsh_pairs(
     bands: int = 16,
     shingle_n: int = 3,
     max_bucket: int = 256,
+    stats: dict | None = None,
 ) -> DataFrame:
     """Near-duplicate candidate pairs DF[id_a, id_b] via minhash-LSH
-    over word shingles (shingle→minhash→band→bucket-join)."""
+    over word shingles (shingle→minhash→band→bucket-join).  ``stats``
+    receives the bucket-cap drop counters (``lsh_dropped_rows`` /
+    ``lsh_dropped_buckets`` / ``lsh_max_bucket_seen``) — the cap is
+    never a silent truncation (SURVEY.md §7)."""
     from shacl_spark.kg.minhash import minhash_signature_from_words
 
     rows = n_hashes // bands
@@ -107,16 +111,31 @@ def minhash_lsh_pairs(
     # and an eager checkpoint so the Arrow minhash stage runs once and
     # both self-join sides reuse the (band_id, band_hash) partitioning
     # (r04, same pass as kg/minhash.candidate_pairs)
-    from pyspark.sql import Window as W
+    from pyspark.sql import Observation, Window as W
 
+    dropped = F.col("n") > max_bucket
+    obs = Observation("lsh_bucket_cap")
     sig = (
         sig.withColumn(
             "n", F.count("*").over(W.partitionBy("band_id", "band_hash"))
         )
-        .where(F.col("n") <= max_bucket)
+        .observe(
+            obs,
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
+            F.sum(F.when(dropped, 1.0 / F.col("n")).otherwise(0.0)).alias(
+                "dropped_buckets"
+            ),
+            F.max("n").alias("max_bucket_seen"),
+        )
+        .where(~dropped)
         .drop("n")
         .localCheckpoint(eager=True)
     )
+    if stats is not None:
+        got = obs.get
+        stats["lsh_dropped_rows"] = int(got["dropped_rows"] or 0)
+        stats["lsh_dropped_buckets"] = int(round(got["dropped_buckets"] or 0.0))
+        stats["lsh_max_bucket_seen"] = int(got["max_bucket_seen"] or 0)
     a, b = sig.alias("a"), sig.alias("b")
     return (
         a.join(

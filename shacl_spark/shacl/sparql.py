@@ -478,7 +478,16 @@ def translate(
         gvars = _pattern_vars(group)
         anchors = sorted(gvars & bound)
         if not anchors:
-            raise ValueError("sparql: EXISTS group shares no bound variable")
+            # anchor-less group (a constant existence test, e.g.
+            # FILTER EXISTS { ?x ex:p ?y }): valid SPARQL whose truth is
+            # solution-independent — a global emptiness probe decides
+            # keep-all vs drop-all (ADVICE r04; the oracle's extend()
+            # with no shared vars computes the same thing per solution)
+            unit = cur.sparkSession.range(1).select(F.lit(1).alias("__unit"))
+            probe = _join_patterns(unit, set(), group, triples, counter)
+            if probe.isEmpty() == positive:
+                cur = cur.limit(0)
+            continue
         # evaluate the group over the distinct anchor bindings, then
         # SEMI-join (EXISTS) / ANTI-join (NOT EXISTS) the solutions
         # against the satisfying keys — the engine's native shapes for

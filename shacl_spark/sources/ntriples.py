@@ -177,9 +177,21 @@ def ntriples_line(
     # a NULL mandatory term must poison the WHOLE line to NULL, never
     # produce a shorter-but-parseable-looking line (r04 review #5:
     # concat_ws silently skips NULLs, so a NULL subj emitted '<p> <o> .'
-    # which the reader then silently dropped — data vanished end to end)
+    # which the reader then silently dropped — data vanished end to end).
+    # IRI terms get the same treatment (ADVICE r04, low): an IRI holding
+    # a space / '>' / control char serializes to a line the reader then
+    # silently drops — the identical write-then-silent-drop loss class —
+    # so invalid IRIs poison the line and route through on_null.
+    bad_iri = lambda c: c.rlike('[\\x00-\\x20<>"{}|^`\\\\]')  # noqa: E731
+    iris_ok = (
+        ~F.when(subj.startswith("_:"), F.lit(False)).otherwise(bad_iri(subj))
+        & ~bad_iri(pred)
+        & ~F.when(obj_kind == "iri", bad_iri(obj)).otherwise(F.lit(False))
+        & ~F.when(obj_kind == "literal", bad_iri(F.coalesce(obj_dt, F.lit("d")))).otherwise(F.lit(False))
+    )
     return F.when(
-        subj.isNotNull() & pred.isNotNull() & obj.isNotNull() & obj_kind.isNotNull(),
+        subj.isNotNull() & pred.isNotNull() & obj.isNotNull() & obj_kind.isNotNull()
+        & iris_ok,
         F.concat_ws(" ", s_term, p_term, o_term, F.lit(".")),
     )
 
@@ -214,8 +226,9 @@ def write_ntriples(
                 F.col("value").isNull(),
                 F.raise_error(
                     F.lit(
-                        "write_ntriples: NULL mandatory term "
-                        "(pass on_null='drop' to skip such rows)"
+                        "write_ntriples: NULL mandatory term or "
+                        "unserializable IRI (whitespace/control/'>' "
+                        "chars; pass on_null='drop' to skip such rows)"
                     )
                 ).cast("string"),
             )

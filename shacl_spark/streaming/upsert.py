@@ -189,7 +189,18 @@ class TombstoneTripleSink:
     def _compute_delta(self, batch: DataFrame, epoch_id: int):
         """(applied, added, removed): ``applied`` carries tid/part/op/seq
         rows to append; ``added``/``removed`` are 6-column frames of the
-        NET state changes (the incremental validator's ``changed``)."""
+        NET state changes (the incremental validator's ``changed``).
+
+        ``seq`` is derived from the TARGET (max existing seq over the
+        touched partitions + 1), never from ``epoch_id``: a stream
+        restarted without a checkpoint location renumbers epochs from 0,
+        and an epoch-derived seq would let an old row outrank a newer
+        tombstone in :meth:`_latest` (ADVICE r04, medium).  Per-tid
+        ordering only needs the max over the tid's own partition (a tid
+        hashes to exactly one partition), so the pruned scan below is
+        sufficient AND O(touched), not O(target).  Crash-replay safety
+        is unchanged: the journal persists the assigned seq, so a replay
+        re-appends identical (tid, seq, op) rows (idempotent ties)."""
         batch = batch.withColumn("tid", triple_id())
         # net op per tid within the batch: '-' wins (max in ASCII)
         net = (
@@ -199,19 +210,23 @@ class TombstoneTripleSink:
         rows = batch.drop("op").dropDuplicates(["tid"]).join(net, "tid")
         rows = rows.withColumn("part", self._part())
         existing = self._read_target()
+        next_seq = 1
         if existing is None:
             live_tids = self.spark.createDataFrame([], "tid string")
         else:
             touched = [r["part"] for r in rows.select("part").distinct().collect()]
             pruned = existing.where(F.col("part").isin(touched)) if touched else existing.limit(0)
+            pruned = pruned.localCheckpoint(eager=False)
             live_tids = (
                 self._latest(pruned).where(F.col("op") == "+").select("tid")
             )
+            max_seq = pruned.agg(F.max("seq")).collect()[0][0]
+            next_seq = (max_seq or 0) + 1
         adds = rows.where(F.col("op") == "+").join(live_tids, "tid", "left_anti")
         removes = rows.where(F.col("op") == "-").join(live_tids, "tid", "left_semi")
         applied = (
             adds.unionByName(removes)
-            .withColumn("seq", F.lit(epoch_id).cast("long"))
+            .withColumn("seq", F.lit(next_seq).cast("long"))
             .localCheckpoint(eager=True)
         )
         six = [f.name for f in TRIPLE_SCHEMA.fields]

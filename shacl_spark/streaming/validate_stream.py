@@ -127,13 +127,17 @@ class StreamingValidator:
             if "op" in batch.columns
             else triple_id()
         )
+        # TWO independently-salted sums (ADVICE r04, low): colliding a
+        # single additive xxhash64 sum needs only a lucky (count, sum)
+        # pair; colliding both salted sums simultaneously requires
+        # breaking the full hash width.  Decimal accumulators: a plain
+        # long sum of 2^63-range hashes overflows under ANSI mode.
         row = batch.select(
             F.count("*").alias("n"),
-            # decimal accumulator: a plain long sum of 2^63-range
-            # hashes overflows under ANSI mode
             F.sum(F.xxhash64(key).cast("decimal(38,0)")).alias("s"),
+            F.sum(F.xxhash64(key, F.lit("\x02fp2")).cast("decimal(38,0)")).alias("s2"),
         ).collect()[0]
-        return f"{row['n']}_{row['s']}"
+        return f"{row['n']}_{row['s']}_{row['s2']}"
 
     def _journal_fp(self, epoch_id: int) -> str | None:
         """The fingerprint of a fully-committed journal, else None."""
@@ -251,8 +255,13 @@ class StreamingValidator:
         """Attach to a streaming triple frame (canonical 6-column
         schema).  Returns the StreamingQuery.  Pass
         ``checkpoint_location`` in production so restarts resume epoch
-        numbering (the content fingerprint protects correctness either
-        way, but a checkpoint avoids re-reading already-seen input)."""
+        numbering and skip already-seen input.  Correctness without a
+        checkpoint: the content fingerprint keys journal replay to batch
+        CONTENT (epoch-id collisions after a checkpoint-less restart
+        fall through to the normal path), and in CDC mode the tombstone
+        sink derives ``seq`` from the target itself — never from the
+        epoch id — so restarted epoch numbering cannot reorder merges
+        (ADVICE r04)."""
         writer = stream.writeStream.foreachBatch(self._on_batch).outputMode("append")
         if checkpoint_location:
             writer = writer.option("checkpointLocation", checkpoint_location)

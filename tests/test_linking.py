@@ -108,3 +108,51 @@ def test_candidate_pairs_beyond_bucket_cap(spark):
     pairs = candidate_pairs(names, max_bucket=64)
     got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
     assert ("id:dupA", "id:dupB") in got
+
+
+def test_bucket_cap_drop_is_observable(spark):
+    """VERDICT r04 #4: a hub surface form whose bucket exceeds
+    max_bucket must be REPORTED via the stats dict, never silently
+    dropped (the r03 empty-match-graph incident class)."""
+    from shacl_spark.kg.minhash import candidate_pairs
+
+    # one hub name repeated 40x (same shingles -> same bucket in every
+    # band) + two genuine near-dups that must survive the cap
+    rows = [(f"id:hub{i:02d}", "TheHubName") for i in range(40)]
+    rows += [("id:a", "WidgetFooMaker"), ("id:b", "widget_foo_maker")]
+    names = spark.createDataFrame(rows, ["id", "name"])
+    stats: dict = {}
+    pairs = candidate_pairs(names, max_bucket=8, stats=stats)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("id:a", "id:b") in got
+    assert not any("hub" in a for a, _ in got)      # capped out
+    assert stats["lsh_dropped_rows"] >= 40           # 40 ids x >=1 band
+    assert stats["lsh_dropped_buckets"] >= 1
+    assert stats["lsh_max_bucket_seen"] == 40
+    # and a no-drop run reports zeros (counter present either way)
+    stats2: dict = {}
+    candidate_pairs(
+        spark.createDataFrame(rows[-2:], ["id", "name"]), max_bucket=8,
+        stats=stats2,
+    ).collect()
+    assert stats2["lsh_dropped_rows"] == 0
+    assert stats2["lsh_dropped_buckets"] == 0
+
+
+def test_minhash_lsh_pairs_drop_observable(spark):
+    """Same counter contract for the document-level LSH operator."""
+    from shacl_spark.operators.dedup import minhash_lsh_pairs
+
+    hub_text = "alpha beta gamma delta epsilon zeta eta theta"
+    rows = [(f"d{i:02d}", hub_text) for i in range(30)]
+    rows += [
+        ("da", "one two three four five six seven eight nine ten"),
+        ("db", "one two three four five six seven eight nine ten!"),
+    ]
+    df = spark.createDataFrame(rows, ["id", "text"])
+    stats: dict = {}
+    pairs = minhash_lsh_pairs(df, "id", "text", max_bucket=8, stats=stats)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert ("da", "db") in got
+    assert stats["lsh_dropped_rows"] >= 30
+    assert stats["lsh_max_bucket_seen"] == 30

@@ -303,3 +303,39 @@ def test_writer_null_terms_fail_loudly(spark, tmp_path):
     write_ntriples(df, str(tmp_path / "ok.nt"), on_null="drop")
     back = read_ntriples(spark, str(tmp_path / "ok.nt"))
     assert [tuple(r)[:3] for r in back.collect()] == [("ex:s", "ex:p", "ex:o")]
+
+
+def test_writer_invalid_iri_fails_loudly(spark, tmp_path):
+    """ADVICE r04: an IRI containing whitespace / '>' / control chars
+    serializes to a line the reader would silently drop — the writer
+    must poison it through the same on_null path as NULL terms."""
+    import pytest as _pytest
+
+    from shacl_spark.sources.ntriples import read_ntriples, write_ntriples
+
+    schema = ("subj string, pred string, obj string, obj_kind string, "
+              "obj_dt string, obj_lang string")
+    bad_rows = [
+        ("ex:has space", "ex:p", "ex:o", "iri", None, None),
+        ("ex:s", "ex:p", "ex:o>injected", "iri", None, None),
+        ("ex:s", "ex:br\noken", "ex:o", "iri", None, None),
+        ("ex:s", "ex:p", "v", "literal", "ex:dt with space", None),
+    ]
+    for row in bad_rows:
+        df = spark.createDataFrame([row], schema)
+        with _pytest.raises(Exception):
+            write_ntriples(df, str(tmp_path / "bad.nt"))
+
+    mixed = spark.createDataFrame(
+        [("ex:s", "ex:p", "ex:o", "iri", None, None)] + bad_rows, schema
+    )
+    write_ntriples(mixed, str(tmp_path / "ok.nt"), on_null="drop")
+    back = read_ntriples(spark, str(tmp_path / "ok.nt"))
+    assert [tuple(r)[:3] for r in back.collect()] == [("ex:s", "ex:p", "ex:o")]
+    # bnode subjects and literals with odd CONTENT are fine (escaped)
+    good = spark.createDataFrame(
+        [("_:b0", "ex:p", 'line1\n"quoted"', "literal", None, None)], schema
+    )
+    write_ntriples(good, str(tmp_path / "g.nt"))
+    gb = read_ntriples(spark, str(tmp_path / "g.nt")).collect()
+    assert gb[0]["obj"] == 'line1\n"quoted"'

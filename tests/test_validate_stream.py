@@ -280,3 +280,58 @@ def test_cdc_stream_validation_with_deletes(spark, tmp_path):
     nv = len(sv._versions())
     sv._on_batch(_op_batch(spark, delta), 1)
     assert len(sv._versions()) == nv
+
+
+def test_cdc_restart_epoch_renumbering_tombstone_wins(spark, tmp_path):
+    """ADVICE r04 (medium): seq must come from the TARGET, not the epoch
+    id.  A checkpoint-less restart renumbers epochs from 0; a tombstone
+    arriving as 'epoch 0' after an add written at a higher epoch must
+    still win the merge-on-read window."""
+    from shacl_spark.streaming.upsert import TombstoneTripleSink
+
+    t1 = ("ex:a", "ex:p", "1", "literal", XSD + "string")
+    t2 = ("ex:b", "ex:p", "2", "literal", XSD + "string")
+
+    sink = TombstoneTripleSink(spark, str(tmp_path / "t"), n_parts=4)
+    sink._merge_batch(_op_batch(spark, [(t1, "+")]), 5)
+    sink._merge_batch(_op_batch(spark, [(t2, "+")]), 6)
+    assert {r["subj"] for r in sink.current().collect()} == {"ex:a", "ex:b"}
+
+    # "restart": a fresh sink on the same target, epochs from 0 again
+    sink2 = TombstoneTripleSink(spark, str(tmp_path / "t"), n_parts=4)
+    ch = sink2._merge_batch(_op_batch(spark, [(t1, "-")]), 0)
+    assert {r["subj"] for r in ch.collect()} == {"ex:a"}  # delta reported
+    assert {r["subj"] for r in sink2.current().collect()} == {"ex:b"}
+
+    # and a re-add after the restart-delete also wins
+    sink3 = TombstoneTripleSink(spark, str(tmp_path / "t"), n_parts=4)
+    sink3._merge_batch(_op_batch(spark, [(t1, "+")]), 0)
+    assert {r["subj"] for r in sink3.current().collect()} == {"ex:a", "ex:b"}
+
+
+def test_cdc_stream_restart_epoch_collision(spark, tmp_path):
+    """End-to-end CDC twin of the non-CDC restart test: a restarted
+    stream reusing epoch 0 for a RETRACTION must apply it and keep the
+    report equal to full validation of the live set."""
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "t"), str(tmp_path / "r"),
+        n_parts=4, cdc=True,
+    )
+    base = [
+        (("ex:a", RDF + "type", "ex:Person"), "+"),
+        (("ex:a", "ex:name", "A", "literal", XSD + "string"), "+"),
+        (("ex:a", "ex:knows", "ex:rock"), "+"),   # untyped -> violation
+    ]
+    sv._on_batch(_op_batch(spark, base), 0)
+    assert len(sv.current_report().collect()) == 1
+
+    # restart: fresh validator over the same dirs, epoch ids from 0
+    sv2 = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "t"), str(tmp_path / "r"),
+        n_parts=4, cdc=True,
+    )
+    sv2._on_batch(_op_batch(spark, [(("ex:a", "ex:knows", "ex:rock"), "-")]), 0)
+    assert {r["subj"] for r in sv2.sink.current().collect()} == {"ex:a"}
+    full = validate(spark, sv2.sink.current(), SHAPES)
+    assert _canon(sv2.current_report()) == _canon(full)
+    assert sv2.current_report().isEmpty()
