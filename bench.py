@@ -83,6 +83,36 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         "runs": [round(t, 2) for t in times],
         "triples_per_sec": round(n_triples / dt, 1),
     }
+    if os.environ.get("SPARK_GRAFT_SCALING_STAGES") == "1" and not with_validate:
+        # whole-pipeline scaling capture (VERDICT r04 #6): time the
+        # OTHER two pipeline stages — canonicalize and validate — under
+        # the same CPU pin as extraction, so the 8→32 pair evidences
+        # the full extract → canonicalize → validate pipeline, not just
+        # its first stage.  Same discipline: equal partition counts at
+        # both levels (32), warm once, best-of-N.
+        from shacl_spark.kg.canon import canonicalize
+        from shacl_spark.shacl import validate as _v
+        from shacl_spark.shacl.kg_shapes import KG_METAMODEL
+        from shacl_spark.shacl.parser import parse_shapes_graph
+
+        staged = full.repartition(32).localCheckpoint(eager=True)
+        canonicalize(staged, checkpoint_input=False).count()  # warm
+        tc = []
+        for _ in range(n_runs):
+            c0 = time.time()
+            canonicalize(staged, checkpoint_input=False).count()
+            tc.append(time.time() - c0)
+        out["canon_sec"] = round(min(tc), 2)
+        out["canon_triples_per_sec"] = round(n_triples / min(tc), 1)
+        shapes_s = parse_shapes_graph(KG_METAMODEL)
+        _v(spark, staged, shapes_s, assume_distinct=True).count()  # warm
+        tv = []
+        for _ in range(n_runs):
+            v0 = time.time()
+            _v(spark, staged, shapes_s, assume_distinct=True).count()
+            tv.append(time.time() - v0)
+        out["validate_sec"] = round(min(tv), 2)
+        out["validate_triples_per_sec"] = round(n_triples / min(tv), 1)
     if with_validate:
         from shacl_spark.shacl import validate
         from shacl_spark.shacl.kg_shapes import KG_METAMODEL
@@ -168,13 +198,24 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         file_idx = F.regexp_extract(F.col("src_path"), r"mod(\d+)\.", 1).cast("int")
         delta = grown.where(file_idx >= n_files).repartition(4).persist()
         n_delta = delta.count()
-        i0 = time.time()
-        inc = incremental_revalidate(
-            spark, base.unionByName(delta), delta, shapes, prev, assume_distinct=True
-        )
-        inc.count()
+        # warm best-of-2, the SAME discipline as the validate/canon
+        # lines above — r04 compared a cold single-shot incremental
+        # against a warm best-of-5 full validation
+        inc_stats: dict = {}
+        inc_runs = []
+        for _ in range(2):
+            i0 = time.time()
+            incremental_revalidate(
+                spark, base.unionByName(delta), delta, shapes, prev,
+                assume_distinct=True, stats=inc_stats,
+            ).count()
+            inc_runs.append(time.time() - i0)
         out["incremental_delta_triples"] = n_delta
-        out["incremental_validate_sec"] = round(time.time() - i0, 2)
+        out["incremental_validate_sec"] = round(min(inc_runs), 2)
+        out["incremental_runs"] = [round(t, 2) for t in inc_runs]
+        out["incremental_affected"] = inc_stats.get("affected", 0)
+        out["incremental_context_nodes"] = inc_stats.get("context_nodes", 0)
+        out["incremental_mode"] = inc_stats.get("mode", "?")
 
         # continuous stream validation (VERDICT r03 next-round #7): the
         # real StreamingValidator loop — per-micro-batch upsert +
@@ -216,7 +257,7 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         # same job at 10× input — throughput must rise superlinearly if
         # the 1×-corpus cost is scheduling overhead, not data work
         big = extract_triples(synth_corpus(spark, n_files * 10, parts=128), n_parts=1024)
-        nt10, vdt10, _ = bench_validate(big, runs=2)
+        nt10, vdt10, _ = bench_validate(big, runs=3)
         out["validate_10x_triples"] = nt10
         out["validate_10x_sec"] = round(vdt10, 2)
         out["validate_10x_triples_per_sec"] = round(nt10 / vdt10, 1)
@@ -234,12 +275,16 @@ def run_kg(spark, n_files: int, with_validate: bool | None = None) -> dict:
         )
         delta10 = grown10.where(file_idx >= n_files * 10).repartition(4).persist()
         out["incremental_10x_delta_triples"] = delta10.count()
-        i0 = time.time()
-        incremental_revalidate(
-            spark, big32.unionByName(delta10), delta10, shapes, prev10,
-            assume_distinct=True,
-        ).count()
-        out["incremental_10x_validate_sec"] = round(time.time() - i0, 2)
+        inc10_runs = []
+        for _ in range(2):
+            i0 = time.time()
+            incremental_revalidate(
+                spark, big32.unionByName(delta10), delta10, shapes, prev10,
+                assume_distinct=True,
+            ).count()
+            inc10_runs.append(time.time() - i0)
+        out["incremental_10x_validate_sec"] = round(min(inc10_runs), 2)
+        out["incremental_10x_runs"] = [round(t, 2) for t in inc10_runs]
         big32.unpersist()
         delta10.unpersist()
     return out
@@ -343,7 +388,8 @@ def run_scaling() -> int:
         out = {}
         for cpus, cpuset in ((8, "0-7"), (32, "0-31")):
             env = dict(
-                os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_RUNS="5"
+                os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_BENCH_RUNS="5",
+                SPARK_GRAFT_SCALING_STAGES="1",
             )
             r = subprocess.run(
                 ["taskset", "-c", cpuset, sys.executable, __file__, "--kg-only", str(n_files)],
@@ -355,21 +401,52 @@ def run_scaling() -> int:
             out[cpus] = json.loads(r.stdout.strip().splitlines()[-1])
         return out
 
-    # two attempts, keep the pair with the higher efficiency: steal
-    # spikes on this shared VM can halve one level's throughput for a
-    # full minute, and a single corrupted pair misstates scaling
-    best, best_eff = None, -1.0
+    # per-stage throughput keys (whole pipeline, VERDICT r04 #6)
+    STAGES = [
+        ("extract", "triples_per_sec"),
+        ("canonicalize", "canon_triples_per_sec"),
+        ("validate", "validate_triples_per_sec"),
+    ]
+
+    def _effs(pair) -> dict[str, float]:
+        return {
+            s: round((pair[32][k] / pair[8][k]) / 4.0, 3)
+            for s, k in STAGES
+            if k in pair[8] and k in pair[32]
+        }
+
+    # two attempts, keep the pair with the higher MEAN per-stage
+    # efficiency: steal spikes on this shared VM can halve one level's
+    # throughput for a full minute, and a single corrupted pair
+    # misstates scaling
+    best, best_effs, best_mean = None, None, -1.0
     for _ in range(2):
         pair = measure_pair()
-        e = (pair[32]["triples_per_sec"] / pair[8]["triples_per_sec"]) / 4.0
-        if e > best_eff:
-            best, best_eff = pair, e
+        es = _effs(pair)
+        m = sum(es.values()) / len(es)
+        if m > best_mean:
+            best, best_effs, best_mean = pair, es, m
     results = best
     thr8 = results[8]["triples_per_sec"]
     thr32 = results[32]["triples_per_sec"]
-    eff = round(best_eff, 3)
+    eff = best_effs["extract"]
     ceiling = _cpu_ceiling()
     normalized = round(eff / ceiling["efficiency"], 3) if ceiling["efficiency"] else None
+    _sec_key = {"extract": "sec", "canonicalize": "canon_sec", "validate": "validate_sec"}
+    _stage_rows = "\n".join(
+        "| {s} | {s8} | {s32} | {t8} | {t32} | {e} | {n} |".format(
+            s=s,
+            s8=results[8].get(_sec_key[s], "-"),
+            s32=results[32].get(_sec_key[s], "-"),
+            t8=results[8].get(k, "-"),
+            t32=results[32].get(k, "-"),
+            e=best_effs.get(s, "-"),
+            n=round(best_effs[s] / ceiling["efficiency"], 3)
+            if s in best_effs and ceiling["efficiency"]
+            else "-",
+        )
+        for s, k in STAGES
+    )
 
     os.makedirs("BENCH", exist_ok=True)
     # preserve hand-written round notes appended after the generated part
@@ -401,6 +478,17 @@ capability — the variance is environmental, not algorithmic).
 | local[8], cores 0-7   | {results[8]['sec']} | {results[8]['runs']} | {thr8} | {round(thr8 / 8, 1)} |
 | local[32], cores 0-31 | {results[32]['sec']} | {results[32]['runs']} | {thr32} | {round(thr32 / 32, 1)} |
 
+### Whole-pipeline per-stage scaling (VERDICT r04 #6)
+
+The same 8 → 32 pair timed for every pipeline stage — extract →
+canonicalize (minhash-LSH link → CC → rewrite) → validate (SHACL
+metamodel) — over the same input, same partition counts at both
+levels, warm best-of-N each:
+
+| stage | local[8] sec | local[32] sec | thr8 t/s | thr32 t/s | raw eff | ceiling-normalized |
+| --- | --- | --- | --- | --- | --- | --- |
+{_stage_rows}
+
 Per-core view: the pure-CPU ceiling below shows this VM's cores
 deliver only ~{round(100 * 1.0 if not ceiling['efficiency'] else 100 * ceiling['efficiency'])}% of their 8-way per-core throughput at 32-way
 load — the same per-core droop the pipeline shows, which is what the
@@ -422,6 +510,7 @@ which is the regime the ≥0.8 criterion assumes.
             + tail
         )
     print(json.dumps({"thr8": thr8, "thr32": thr32, "efficiency": eff,
+                      "stage_efficiency": best_effs,
                       "cpu_ceiling": ceiling, "normalized_efficiency": normalized}))
     return 0
 

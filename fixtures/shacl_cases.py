@@ -674,6 +674,69 @@ case("sparql_exists_chain",
        "FILTER EXISTS { ?this ex:knows ?k . ?k ex:managerOf ?m } }",
        "literal", XS + "string")])
 
+# ---- aggregation (r05, VERDICT r04 #5): the cardinality-over-join
+# shape — GROUP BY ?this + COUNT/HAVING.  a has 3 emails (flagged,
+# value = the count literal), b has 2 (clean), c has none (no solution).
+case("sparql_agg_count_having",
+     [("ex:a", T, "ex:Acct"),
+      ("ex:a", "ex:email", "a1@x", "literal", XS + "string"),
+      ("ex:a", "ex:email", "a2@x", "literal", XS + "string"),
+      ("ex:a", "ex:email", "a3@x", "literal", XS + "string"),
+      ("ex:b", T, "ex:Acct"),
+      ("ex:b", "ex:email", "b1@x", "literal", XS + "string"),
+      ("ex:b", "ex:email", "b2@x", "literal", XS + "string"),
+      ("ex:c", T, "ex:Acct")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Acct"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this (COUNT(?m) AS ?value) WHERE { "
+       "?this ex:email ?m . } GROUP BY ?this HAVING (COUNT(?m) > 2)",
+       "literal", XS + "string")])
+
+# SUM with a malformed numeric (skipped, SPARQL error-value behavior)
+# and an all-error group (alias unbound -> HAVING false): a sums to 11
+# (flagged), b to 5 (clean), c has only "abc" (unbound sum, clean),
+# d has 9 + "x" (9, clean)
+case("sparql_agg_sum_having",
+     [("ex:a", T, "ex:Cart"),
+      ("ex:a", "ex:qty", "6", "literal", XS + "integer"),
+      ("ex:a", "ex:qty", "5", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Cart"),
+      ("ex:b", "ex:qty", "3", "literal", XS + "integer"),
+      ("ex:b", "ex:qty", "2", "literal", XS + "integer"),
+      ("ex:c", T, "ex:Cart"),
+      ("ex:c", "ex:qty", "abc", "literal", XS + "integer"),
+      ("ex:d", T, "ex:Cart"),
+      ("ex:d", "ex:qty", "9", "literal", XS + "integer"),
+      ("ex:d", "ex:qty", "x", "literal", XS + "integer")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Cart"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this (SUM(?q) AS ?value) WHERE { "
+       "?this ex:qty ?q . } GROUP BY ?this HAVING (SUM(?q) >= 10)",
+       "literal", XS + "string")])
+
+# COUNT(*) over a two-hop join with a WHERE-level FILTER applied
+# BEFORE grouping; HAVING with && combinator
+case("sparql_agg_count_star_join",
+     [("ex:a", T, "ex:Team"),
+      ("ex:a", "ex:member", "ex:m1"), ("ex:m1", "ex:age", "30", "literal", XS + "integer"),
+      ("ex:a", "ex:member", "ex:m2"), ("ex:m2", "ex:age", "40", "literal", XS + "integer"),
+      ("ex:a", "ex:member", "ex:m3"), ("ex:m3", "ex:age", "15", "literal", XS + "integer"),
+      ("ex:b", T, "ex:Team"),
+      ("ex:b", "ex:member", "ex:m4"), ("ex:m4", "ex:age", "50", "literal", XS + "integer"),
+      ("ex:c", T, "ex:Team")],
+     [("ex:S", T, SH + "NodeShape"),
+      ("ex:S", SH + "targetClass", "ex:Team"),
+      ("ex:S", SH + "sparql", "ex:SQ"),
+      ("ex:SQ", SH + "select",
+       "PREFIX ex: <ex:> SELECT ?this (COUNT(*) AS ?value) WHERE { "
+       "?this ex:member ?m . ?m ex:age ?g . FILTER (?g >= 18) } "
+       "GROUP BY ?this HAVING (COUNT(*) >= 2 && COUNT(*) < 5)",
+       "literal", XS + "string")])
+
 # anchor-less EXISTS (ADVICE r04): the group shares NO variable with
 # the outer query — a constant existence test deciding keep-all vs
 # drop-all.  Here a global 'frozen' flag suppresses every violation.

@@ -2,7 +2,7 @@
 """spark-submit entry: validate a triples table against a shapes graph.
 
     spark-submit --py-files shacl_spark.zip jobs/validate_graph.py \
-        --data   <parquet dir | .nt N-Triples file(s) | .ttl> \
+        --data   <parquet dir | .nt N-Triples | .jsonl JSON-LD-lines | .ttl> \
         --shapes <csv/parquet of shapes triples | .ttl> \
         [--report <output parquet dir>]
 
@@ -50,6 +50,9 @@ def main(argv=None) -> int:
     # the affected focus nodes and merge (shacl/incremental.py)
     p.add_argument("--changed")
     p.add_argument("--prev-report", dest="prev_report")
+    # JSON-LD-lines data (r05): optional term/prefix context as an
+    # inline JSON object, e.g. '{"ex": "http://ex.org/"}'
+    p.add_argument("--jsonld-context", dest="jsonld_context")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -66,6 +69,11 @@ def main(argv=None) -> int:
         from shacl_spark.sources.ntriples import read_ntriples
 
         triples = read_ntriples(spark, args.data)
+    elif args.data.endswith(".jsonl") or args.data.endswith(".jsonld"):
+        from shacl_spark.sources.jsonld import read_jsonld_lines
+
+        ctx = json.loads(args.jsonld_context) if args.jsonld_context else None
+        triples = read_jsonld_lines(spark, args.data, context=ctx)
     else:
         triples = spark.read.parquet(args.data)
     if args.changed and args.prev_report:

@@ -721,6 +721,16 @@ _q(
          "PREFIX ex: <ex:> SELECT ?this ?value WHERE { "
          "{ ?this ex:managerOf ?value } UNION { ?this ex:backup ?value } }",
          "literal", STR),
+        # r05: aggregation (VERDICT r04 #5) — the cardinality-over-join
+        # shape: persons with more than 2 ex:email values, sh:value =
+        # the offending count as an xsd:integer literal
+        ("ex:S4", T, SH + "NodeShape"),
+        ("ex:S4", SH + "targetClass", "ex:Person"),
+        ("ex:S4", SH + "sparql", "ex:SQ4"),
+        ("ex:SQ4", SH + "select",
+         "PREFIX ex: <ex:> SELECT ?this (COUNT(?m) AS ?value) WHERE { "
+         "?this ex:email ?m . } GROUP BY ?this HAVING (COUNT(?m) > 2)",
+         "literal", STR),
     ],
     f"""WITH RECURSIVE {_focus_class("ex:Person")},
 st AS (SELECT f.f, t.obj, {_NUM} AS num FROM focus f
@@ -745,5 +755,13 @@ SELECT DISTINCT f.f AS focus,
        CAST(NULL AS VARCHAR) AS path, u.obj AS value,
        '{SH}SPARQLConstraintComponent' AS component
 FROM focus f
-JOIN t u ON u.subj = f.f AND u.pred IN ('ex:managerOf', 'ex:backup')""",
+JOIN t u ON u.subj = f.f AND u.pred IN ('ex:managerOf', 'ex:backup')
+UNION
+SELECT f.f AS focus,
+       CAST(NULL AS VARCHAR) AS path,
+       CAST(count(*) AS VARCHAR) AS value,
+       '{SH}SPARQLConstraintComponent' AS component
+FROM focus f
+JOIN t m ON m.subj = f.f AND m.pred = 'ex:email'
+GROUP BY f.f HAVING count(*) > 2""",
 )

@@ -286,6 +286,10 @@ class Validator:
             if memo is None
             else nodes.join(memo.select("node"), "node", "left_anti")
         )
+        # probe kept even for tiny restricted graphs: folding ~15 near-
+        # empty delta evaluations into the final DAG costs MORE in
+        # Catalyst analysis than these probe jobs (profiled both ways,
+        # r05: probes 4.5 s vs folded 6.0 s on the incremental slice)
         if memo is not None and new_nodes.isEmpty():
             # common case for seeded memos (the referencing shape's
             # value nodes ARE the referenced shape's targets): one cheap

@@ -34,6 +34,12 @@ metamodel + typical data-quality constraints fit in it):
   ``bound(?x)``; comparisons over unbound optional vars are SPARQL
   type errors → false
 
+- aggregation (r05): ``SELECT ?this (COUNT(?x) AS ?n) ... GROUP BY
+  ?this [?more] HAVING (COUNT(?x) > k)`` — COUNT(*)/COUNT(?v)/SUM(?v)
+  (integer-valued), non-aggregate selected vars must be grouped, ?this
+  must be grouped.  Translates to ONE ``groupBy().agg()`` (map-side
+  partial agg + a single shuffle on the focus-dominated keys).
+
 Violations are the solution rows: focus = ?this, value = ?value when
 selected (SPEC §5.3.2).
 """
@@ -93,6 +99,18 @@ class Not:
     inner: object
 
 
+@dataclass(frozen=True)
+class Agg:
+    """Aggregate call — ``COUNT(*)`` / ``COUNT(?v)`` / ``SUM(?v)``
+    (r05: the cardinality-over-join constraint shape, VERDICT r04 #5).
+    SUM is integer-valued in this subset (values cast to long; non-
+    numeric lexical forms aggregate as NULL → skipped, SPARQL's error-
+    skipping behavior for malformed numerics)."""
+
+    fn: str  # 'count' | 'sum'
+    var: str | None  # None = COUNT(*)
+
+
 @dataclass
 class Query:
     select: list[str] = field(default_factory=list)
@@ -117,6 +135,11 @@ class Query:
     # ("optional", [Pattern...]), ("union", [[Pattern...]...]).  The
     # flat fields above stay populated for footprint analysis.
     statements: list[tuple[str, object]] = field(default_factory=list)
+    # aggregation (r05): SELECT (AGG(...) AS ?alias) projections,
+    # GROUP BY vars, HAVING expression (may contain Agg atoms)
+    aggregates: list[tuple[Agg, str]] = field(default_factory=list)
+    group_by: list[str] = field(default_factory=list)
+    having: object | None = None
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -131,7 +154,7 @@ _TOK = re.compile(
   | (?P<kw>\b(?:PREFIX|SELECT|WHERE|FILTER|a|true|false)\b)
   | (?P<pname>[A-Za-z_][A-Za-z0-9_\-]*:[A-Za-z0-9_\-.]*|:[A-Za-z0-9_\-.]*)
   | (?P<ident>[A-Za-z_][A-Za-z0-9_]*)
-  | (?P<op>&&|\|\||!=|<=|>=|[=<>!])
+  | (?P<op>&&|\|\||!=|<=|>=|[=<>!*])
   | (?P<dt>\^\^)
   | (?P<punct>[{}().,;])
     """,
@@ -177,8 +200,25 @@ class SparqlParser:
             iri = self._expect("iri")
             self.prefixes[pv[:-1]] = iri[1:-1]
         self._expect(val="SELECT")
-        while self._peek()[0] == "var":
-            q.select.append(self._next()[1][1:].lower())
+        while True:
+            k, v = self._peek()
+            if k == "var":
+                q.select.append(self._next()[1][1:].lower())
+                continue
+            if k == "punct" and v == "(":
+                # (COUNT(?x) AS ?alias) / (SUM(?x) AS ?n) projection
+                self._next()
+                agg = self._agg()
+                self._expect("ident", "AS")
+                ak, av = self._next()
+                if ak != "var":
+                    raise ValueError("sparql: AS needs a variable alias")
+                alias = av[1:].lower()
+                self._expect("punct", ")")
+                q.aggregates.append((agg, alias))
+                q.select.append(alias)
+                continue
+            break
         if not q.select:
             raise ValueError("sparql: SELECT needs at least ?this")
         self._expect(val="WHERE")
@@ -252,7 +292,50 @@ class SparqlParser:
             pat = self._pattern()
             q.patterns.append(pat)
             q.statements.append(("pattern", pat))
+        k, v = self._peek()
+        if k == "ident" and (v or "").upper() == "GROUP":
+            self._next()
+            self._expect("ident", "BY")
+            while self._peek()[0] == "var":
+                q.group_by.append(self._next()[1][1:].lower())
+            if not q.group_by:
+                raise ValueError("sparql: GROUP BY needs at least one variable")
+        k, v = self._peek()
+        if k == "ident" and (v or "").upper() == "HAVING":
+            self._next()
+            self._expect("punct", "(")
+            q.having = self._expr()
+            self._expect("punct", ")")
+        if (q.aggregates or q.having is not None) and not q.group_by:
+            raise ValueError("sparql: aggregates require GROUP BY in this subset")
+        if q.group_by:
+            if "this" not in q.group_by:
+                raise ValueError("sparql: GROUP BY must include ?this")
+            agg_aliases = {a for _, a in q.aggregates}
+            plain = [s for s in q.select if s not in agg_aliases]
+            if not set(plain) <= set(q.group_by):
+                raise ValueError(
+                    "sparql: selected non-aggregate vars must be grouped"
+                )
         return q
+
+    def _agg(self) -> Agg:
+        k, v = self._next()
+        if k != "ident" or v.lower() not in ("count", "sum"):
+            raise ValueError(f"sparql: unsupported aggregate {v!r}")
+        fn = v.lower()
+        self._expect("punct", "(")
+        ak, av = self._next()
+        if ak == "op" and av == "*":
+            if fn != "count":
+                raise ValueError("sparql: * only valid in COUNT(*)")
+            var = None
+        elif ak == "var":
+            var = av[1:].lower()
+        else:
+            raise ValueError(f"sparql: bad aggregate argument {av!r}")
+        self._expect("punct", ")")
+        return Agg(fn, var)
 
     def _group_block(self) -> list[Pattern]:
         """``{ pattern* }`` — used by UNION arms."""
@@ -351,6 +434,8 @@ class SparqlParser:
             e = self._expr()
             self._expect("punct", ")")
             return e
+        if k == "ident" and v.lower() in ("count", "sum"):
+            return self._agg()
         if k == "ident" and v.lower() in _FUNCS:
             self._next()
             self._expect("punct", "(")
@@ -522,6 +607,10 @@ def translate(
             raise ValueError(f"sparql: FILTER references unbound vars {missing}")
         cur = cur.where(_expr_col(flt))
 
+    if query.group_by:
+        cur = _apply_aggregation(cur, query, bound)
+        bound = set(query.group_by) | {a for _, a in query.aggregates}
+
     cols = [F.col("__this__node").alias("focus")]
     if "value" in query.select and "value" in bound:
         cols += [
@@ -531,6 +620,116 @@ def translate(
             F.col(_vcol("value", "lang")).alias("lang"),
         ]
     return cur.select(*cols).distinct()
+
+
+def _agg_specs(query: Query) -> list[Agg]:
+    """Distinct aggregate calls across SELECT projections and HAVING."""
+    specs: list[Agg] = []
+
+    def walk(e):
+        if isinstance(e, Agg):
+            if e not in specs:
+                specs.append(e)
+        elif isinstance(e, BinOp):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Not):
+            walk(e.inner)
+        elif isinstance(e, Call):
+            for a in e.args:
+                walk(a)
+
+    for agg, _ in query.aggregates:
+        if agg not in specs:
+            specs.append(agg)
+    if query.having is not None:
+        walk(query.having)
+    return specs
+
+
+def _having_operand(e, aggmap: dict) -> Column:
+    if isinstance(e, Agg):
+        return F.col(aggmap[e])
+    if isinstance(e, Lit):
+        try:
+            return F.lit(float(e.value) if "." in e.value else int(e.value))
+        except ValueError:
+            raise ValueError(f"sparql: non-numeric HAVING literal {e.value!r}")
+    raise ValueError(
+        "sparql: HAVING supports aggregate-vs-number comparisons only"
+    )
+
+
+def _having_col(e, aggmap: dict) -> Column:
+    """HAVING expression → Column over the computed aggregate columns
+    (numeric comparisons; && || ! combinators)."""
+    import operator as _op
+
+    if isinstance(e, Not):
+        return ~_having_col(e.inner, aggmap)
+    if isinstance(e, BinOp):
+        if e.op == "&&":
+            return _having_col(e.left, aggmap) & _having_col(e.right, aggmap)
+        if e.op == "||":
+            return _having_col(e.left, aggmap) | _having_col(e.right, aggmap)
+        ops = {"=": _op.eq, "!=": _op.ne, "<": _op.lt,
+               "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+        return ops[e.op](
+            _having_operand(e.left, aggmap), _having_operand(e.right, aggmap)
+        )
+    raise ValueError(f"sparql: unsupported HAVING expression {e!r}")
+
+
+def _apply_aggregation(cur: DataFrame, query: Query, bound: set) -> DataFrame:
+    """GROUP BY + aggregate projections + HAVING over the solution frame
+    (r05, VERDICT r04 #5 — the 'count over a join' constraint shape).
+    One ``groupBy().agg()`` — map-side partial aggregation plus a single
+    shuffle on the (focus-dominated) group keys, the plan a hand-written
+    cardinality constraint would produce.  COUNT → xsd:integer literal;
+    SUM casts values to long (NULL for non-numeric lexical forms, which
+    the sum then skips — an all-error group leaves the alias unbound)."""
+    missing = set(query.group_by) - bound
+    if missing:
+        raise ValueError(f"sparql: GROUP BY references unbound vars {missing}")
+    keys = ["__this__node"] + [
+        _vcol(g, p) for g in query.group_by for p in _VCOLS
+    ]
+    specs = _agg_specs(query)
+    aggmap = {spec: f"__agg{i}" for i, spec in enumerate(specs)}
+    aggs = []
+    for spec, name in aggmap.items():
+        if spec.var is None:
+            aggs.append(F.count(F.lit(1)).alias(name))
+            continue
+        if spec.var not in bound:
+            raise ValueError(f"sparql: aggregate over unbound var ?{spec.var}")
+        col = F.col(_vcol(spec.var, "val"))
+        if spec.fn == "count":
+            aggs.append(F.count(col).alias(name))
+        else:
+            # try_cast, not cast: ANSI mode (Spark 4 default) would
+            # otherwise FAIL the job on one malformed numeric literal —
+            # SPARQL skips error values inside aggregates instead
+            aggs.append(F.sum(col.try_cast("long")).alias(name))
+    out = cur.groupBy(*keys).agg(*aggs)
+    if query.having is not None:
+        out = out.where(_having_col(query.having, aggmap))
+    for agg, alias in query.aggregates:
+        name = aggmap[agg]
+        sval = F.col(name).cast("string")
+        out = (
+            out.withColumn(_vcol(alias, "val"), sval)
+            .withColumn(
+                _vcol(alias, "kind"),
+                F.when(sval.isNotNull(), F.lit("literal")),
+            )
+            .withColumn(
+                _vcol(alias, "dt"),
+                F.when(sval.isNotNull(), F.lit(XSD + "integer")),
+            )
+            .withColumn(_vcol(alias, "lang"), F.lit(None).cast("string"))
+        )
+    return out
 
 
 def _pattern_vars(patterns) -> set[str]:

@@ -720,7 +720,109 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
     for b in binds_list:
         if all(ev(f, b) for f in q.filters):
             out.append(b)
+    if getattr(q, "group_by", None):
+        out = _sparql_group(q, out)
     return out
+
+
+def _sparql_group(q, sols: list[dict]) -> list[dict]:
+    """GROUP BY / COUNT / SUM / HAVING over the solution bag (r05),
+    mirroring the engine's _apply_aggregation: COUNT(?v) counts bound
+    occurrences (bag semantics), SUM casts to int and skips non-numeric
+    values (an all-error group leaves the alias unbound); HAVING with an
+    unbound aggregate is false (the engine's NULL-comparison drop)."""
+    import operator as _op
+
+    from shacl_spark.shacl.sparql import Agg, BinOp, Lit, Not
+
+    def keyof(b):
+        return tuple(
+            None if b.get(g) is None
+            else (b[g].kind, b[g].value, b[g].dt, b[g].lang)
+            for g in q.group_by
+        )
+
+    groups: dict[tuple, list[dict]] = {}
+    for b in sols:
+        groups.setdefault(keyof(b), []).append(b)
+
+    def aggval(agg: Agg, rows: list[dict]):
+        if agg.var is None:
+            return len(rows)
+        vals = [r[agg.var] for r in rows if r.get(agg.var) is not None]
+        if agg.fn == "count":
+            return len(vals)
+        total, any_num = 0, False
+        for t in vals:
+            try:
+                total += int(t.value)
+                any_num = True
+            except (TypeError, ValueError):
+                continue  # engine: try_cast -> NULL, sum skips it
+        return total if any_num else None
+
+    ops = {"=": _op.eq, "!=": _op.ne, "<": _op.lt,
+           "<=": _op.le, ">": _op.gt, ">=": _op.ge}
+
+    def evh(e, vals):
+        if isinstance(e, Not):
+            return not evh(e.inner, vals)
+        if isinstance(e, BinOp):
+            if e.op == "&&":
+                return evh(e.left, vals) and evh(e.right, vals)
+            if e.op == "||":
+                return evh(e.left, vals) or evh(e.right, vals)
+            lv, rv = _hval(e.left, vals), _hval(e.right, vals)
+            if lv is None or rv is None:
+                return False
+            return ops[e.op](lv, rv)
+        raise ValueError(f"oracle sparql: unsupported HAVING expr {e!r}")
+
+    def _hval(e, vals):
+        if isinstance(e, Agg):
+            return vals[e]
+        if isinstance(e, Lit):
+            return float(e.value) if "." in e.value else int(e.value)
+        raise ValueError(f"oracle sparql: bad HAVING operand {e!r}")
+
+    result = []
+    for rows in groups.values():
+        vals = {spec: aggval(spec, rows) for spec in _oracle_agg_specs(q)}
+        if q.having is not None and not evh(q.having, vals):
+            continue
+        sol = {g: rows[0][g] for g in q.group_by if rows[0].get(g) is not None}
+        for agg, alias in q.aggregates:
+            v = vals[agg]
+            if v is not None:
+                sol[alias] = Term(str(v), "literal", XSD + "integer")
+        result.append(sol)
+    return result
+
+
+def _oracle_agg_specs(q) -> list:
+    from shacl_spark.shacl.sparql import Agg, BinOp, Call, Not
+
+    specs: list = []
+
+    def walk(e):
+        if isinstance(e, Agg):
+            if e not in specs:
+                specs.append(e)
+        elif isinstance(e, BinOp):
+            walk(e.left)
+            walk(e.right)
+        elif isinstance(e, Not):
+            walk(e.inner)
+        elif isinstance(e, Call):
+            for a in e.args:
+                walk(a)
+
+    for agg, _ in q.aggregates:
+        if agg not in specs:
+            specs.append(agg)
+    if q.having is not None:
+        walk(q.having)
+    return specs
 
 
 def _sparql_value(e, b):
