@@ -374,27 +374,30 @@ def _hop_collect(
     return {r[0] for r in rows}
 
 
-def _expand_local(
-    spark: SparkSession,
+def _expand_generic(
     seeds: set[str],
-    dep: DataFrame | None,
-    rdep: DataFrame | None,
+    hop_dep,
+    hop_rdep,
     depth: int,
     cap: int,
 ) -> set[str] | None:
     """Depth-bounded + fixpoint-alternated expansion (same alternation
     contract as :func:`affected_node_keys` — a non-recursive hop can
     follow a fixpoint hop and vice versa), with the frontier/acc sets on
-    the driver.  Returns None when ``cap`` is exceeded (escape)."""
+    the driver.  ``hop_dep``/``hop_rdep`` are frontier→neighbors
+    callables (None when that edge family is absent) — either one
+    broadcast-join Spark job per hop or a pure-driver adjacency lookup
+    (see :class:`_LocalEdges`).  Returns None when ``cap`` is exceeded
+    (escape)."""
     acc = set(seeds)
     depth_pending = set(seeds)
     fix_pending = set(seeds)
     while True:
         new_depth: set[str] = set()
         frontier = depth_pending
-        if dep is not None:
+        if hop_dep is not None:
             for _ in range(depth):
-                nxt = _hop_collect(spark, dep, frontier)
+                nxt = hop_dep(frontier)
                 nxt -= acc
                 if not nxt:
                     break
@@ -403,12 +406,12 @@ def _expand_local(
                 if len(acc) > cap:
                     return None
                 frontier = nxt
-        if rdep is None:
+        if hop_rdep is None:
             break
         new_fix: set[str] = set()
         frontier = fix_pending | new_depth
         while True:
-            nxt = _hop_collect(spark, rdep, frontier)
+            nxt = hop_rdep(frontier)
             nxt -= acc
             if not nxt:
                 break
@@ -422,6 +425,97 @@ def _expand_local(
         depth_pending = new_fix
         fix_pending = set()
     return acc
+
+
+def _expand_local(
+    spark: SparkSession,
+    seeds: set[str],
+    dep: DataFrame | None,
+    rdep: DataFrame | None,
+    depth: int,
+    cap: int,
+) -> set[str] | None:
+    """Spark-hop expansion: one broadcast-join job per hop."""
+    hop_d = (lambda f: _hop_collect(spark, dep, f)) if dep is not None else None
+    hop_r = (lambda f: _hop_collect(spark, rdep, f)) if rdep is not None else None
+    return _expand_generic(seeds, hop_d, hop_r, depth, cap)
+
+
+class _LocalEdges:
+    """Driver-side adjacency maps over the footprint-predicate edge
+    rows (r05): ONE scan + ONE bounded collect replaces the per-hop
+    broadcast-join jobs — at CDC delta rates the expansion cost was
+    ~10 scheduled jobs per revalidation, all walking the same edges.
+    The same collected rows serve BOTH expansion directions (dependency
+    a←b and validation-context a→b), so dep + ctx expansion together
+    cost two Spark jobs total (count + collect).  Falls back to the
+    Spark hops (``collect_local_edges`` returns None) above ``cap``
+    edge rows — the 100 TB posture: driver assists are bounded, never
+    assumed (same pattern as kg/cc.py's union-find)."""
+
+    def __init__(self, rows, fp: Footprint):
+        from collections import defaultdict
+
+        self.dep = defaultdict(list)
+        self.rdep = defaultdict(list)
+        self.cdep = defaultdict(list)
+        self.crdep = defaultdict(list)
+        resource = ("iri", "bnode")
+        for r in rows:
+            s, p, o, k = r[0], r[1], r[2], r[3]
+            if p in fp.fwd_preds and k in resource:
+                self.dep[o].append(s)
+                self.cdep[s].append(o)
+            if p in fp.rec_fwd and k in resource:
+                self.rdep[o].append(s)
+                self.crdep[s].append(o)
+            if p in fp.inv_preds:
+                if k in resource:
+                    self.dep[s].append(o)
+                self.cdep[o].append(s)
+            if p in fp.rec_inv:
+                if k in resource:
+                    self.rdep[s].append(o)
+                self.crdep[o].append(s)
+
+    @staticmethod
+    def _hop(adj) -> object:
+        return lambda frontier: {
+            b for a in frontier for b in adj.get(a, ())
+        }
+
+    def expand_dep(self, fp: Footprint, seeds, cap):
+        hop_d = self._hop(self.dep) if (fp.fwd_preds or fp.inv_preds) else None
+        hop_r = self._hop(self.rdep) if (fp.rec_fwd or fp.rec_inv) else None
+        return _expand_generic(seeds, hop_d, hop_r, fp.depth, cap)
+
+    def expand_ctx(self, fp: Footprint, seeds, cap):
+        hop_d = self._hop(self.cdep) if (fp.fwd_preds or fp.inv_preds) else None
+        hop_r = self._hop(self.crdep) if (fp.rec_fwd or fp.rec_inv) else None
+        return _expand_generic(seeds, hop_d, hop_r, fp.depth, cap)
+
+
+def collect_local_edges(
+    triples: DataFrame, fp: Footprint, cap: int
+) -> _LocalEdges | None:
+    """Bounded collect of every footprint-predicate edge row; None when
+    the edge family is empty or exceeds ``cap`` (callers then use the
+    per-hop Spark jobs)."""
+    all_rel = fp.fwd_preds | fp.inv_preds | fp.rec_fwd | fp.rec_inv
+    if not all_rel:
+        return None
+    inv_like = fp.inv_preds | fp.rec_inv
+    keep = F.col("obj_kind").isin("iri", "bnode")
+    if inv_like:
+        # inverse-direction CONTEXT edges keep literal objects (a
+        # literal focus reaches its inverse-path values through them)
+        keep = keep | F.col("pred").isin(*sorted(inv_like))
+    ef = triples.where(F.col("pred").isin(*sorted(all_rel)) & keep).select(
+        "subj", "pred", "obj", "obj_kind"
+    )
+    if ef.limit(cap + 1).count() > cap:
+        return None
+    return _LocalEdges(ef.collect(), fp)
 
 
 
@@ -509,6 +603,8 @@ def incremental_revalidate(
     prev_report: DataFrame,
     assume_distinct: bool = False,
     max_affected: int = 100_000,
+    local_max_rows: int = 150_000,
+    edge_collect_max: int = 500_000,
     stats: dict | None = None,
 ) -> DataFrame:
     """Equivalent to ``validate(spark, triples, shapes)`` when
@@ -520,8 +616,20 @@ def incremental_revalidate(
     region exceeds ``max_affected`` nodes, restricted validation stops
     being cheaper than a full pass — fall back to ``validate`` (always
     correct).  ``stats`` (optional) records the path taken
-    (``mode``: 'incremental' | 'full_escape' | 'full_subclass'), the
-    affected-set and context-slice sizes."""
+    (``mode``: 'incremental' | 'incremental_local' | 'full_escape' |
+    'full_subclass'), the affected-set and context-slice sizes.
+
+    Local fast path (r05): when the restricted context slice has at
+    most ``local_max_rows`` triples, it is collected and validated
+    with the row-exact Python interpreter (shacl/interp.py) instead of
+    the distributed Validator — a small-delta validation is dominated
+    by Catalyst plan-build + task-scheduling fixed costs, not by data,
+    and a driver-side walk removes them entirely (the same bounded-
+    collect pattern as kg/cc.py's union-find; tests/test_interp_exact
+    pins row-exactness, and the incremental==full scenarios run both
+    paths).  ``local_max_rows=0`` disables it; at 100 TB deployment
+    scale the slice for a CDC-sized delta is still only the delta's
+    neighborhood, so the path stays hot exactly when it should."""
     shapes = (
         shapes_rows_or_graph
         if isinstance(shapes_rows_or_graph, ShapesGraph)
@@ -564,11 +672,20 @@ def incremental_revalidate(
     }
     seeds = subj_seeds | inv_obj_seeds
     has_rec = bool(fp.rec_fwd or fp.rec_inv)
-    dep = _dep_edges(triples, fp.fwd_preds, fp.inv_preds)
-    rdep = _dep_edges(triples, fp.rec_fwd, fp.rec_inv) if has_rec else None
-    if not (fp.fwd_preds or fp.inv_preds):
-        dep = None
-    acc = _expand_local(spark, seeds, dep, rdep, fp.depth, max_affected)
+    # ONE bounded collect of the footprint-pred edge rows replaces the
+    # per-hop broadcast-join jobs for BOTH expansion directions (r05);
+    # above the cap, fall back to per-hop Spark jobs (still capped)
+    ledges = collect_local_edges(triples, fp, edge_collect_max)
+    if ledges is not None:
+        stats["edge_mode"] = "collected"
+        acc = ledges.expand_dep(fp, seeds, max_affected)
+    else:
+        stats["edge_mode"] = "spark_hops"
+        dep = _dep_edges(triples, fp.fwd_preds, fp.inv_preds)
+        rdep = _dep_edges(triples, fp.rec_fwd, fp.rec_inv) if has_rec else None
+        if not (fp.fwd_preds or fp.inv_preds):
+            dep = None
+        acc = _expand_local(spark, seeds, dep, rdep, fp.depth, max_affected)
     if acc is None:
         return _full("full_escape")
 
@@ -593,16 +710,56 @@ def incremental_revalidate(
         ctx_seeds = set(acc) | {
             r["obj"] for r in ch_rows  # changed objects can be focus
         }
-        cdep = _ctx_edges(triples, fp.fwd_preds, fp.inv_preds)
-        crdep = (
-            _ctx_edges(triples, fp.rec_fwd, fp.rec_inv) if has_rec else None
-        )
-        ctx = _expand_local(spark, ctx_seeds, cdep, crdep, fp.depth, max_affected)
+        if ledges is not None:
+            ctx = ledges.expand_ctx(fp, ctx_seeds, max_affected)
+        else:
+            cdep = _ctx_edges(triples, fp.fwd_preds, fp.inv_preds)
+            crdep = (
+                _ctx_edges(triples, fp.rec_fwd, fp.rec_inv) if has_rec else None
+            )
+            ctx = _expand_local(
+                spark, ctx_seeds, cdep, crdep, fp.depth, max_affected
+            )
         if ctx is not None:
             v_triples = _restricted_triples(spark, triples, ctx, fp)
             stats["context_nodes"] = len(ctx)
         # ctx None (cap hit on the context side only): validate the
         # affected set against the FULL graph — still incremental
+
+    if v_triples is not triples and local_max_rows:
+        n_slice = v_triples.count()  # checkpointed — metadata-cheap
+        stats["slice_rows"] = n_slice
+        if n_slice <= local_max_rows:
+            # LOCAL fast path: the slice fits on the driver; a Python
+            # interpreter walk costs milliseconds where the distributed
+            # Validator pays seconds of Catalyst plan-build + task
+            # scheduling for the same tiny input (r05; row-exactness
+            # pinned by tests/test_interp_exact.py)
+            from shacl_spark.shacl.engine import REPORT_OUT_SCHEMA
+            from shacl_spark.shacl.interp import Oracle
+
+            slice_rows = v_triples.select(
+                "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"
+            ).collect()
+            results = Oracle(slice_rows, shapes).validate(only_keys=aff_keys)
+            stats["mode"] = "incremental_local"
+            new_rows = spark.createDataFrame(
+                [r.as_row() for r in results], REPORT_OUT_SCHEMA
+            )
+            prev_key = node_key_col(
+                F.col("focus_kind"), F.col("focus"),
+                F.col("focus_dt"), F.col("focus_lang"),
+            )
+            prev_keep = (
+                prev_report.withColumn("__k", prev_key)
+                .join(
+                    F.broadcast(aff.withColumnRenamed("node", "__k")),
+                    "__k",
+                    "left_anti",
+                )
+                .drop("__k")
+            )
+            return prev_keep.unionByName(new_rows)
 
     # cache=False when validating the restricted slice: the slice is
     # already one checkpointed in-memory frame, and per-branch persists

@@ -81,9 +81,21 @@ def _check_equiv(spark, base_rows, new_rows, changed_rows):
     new = triples_from_rows(spark, new_rows)
     changed = triples_from_rows(spark, changed_rows)
     prev = validate(spark, base, SHAPES)
-    inc = incremental_revalidate(spark, new, changed, SHAPES, prev)
-    full = validate(spark, new, SHAPES)
-    assert _canon(inc) == _canon(full)
+    full = _canon(validate(spark, new, SHAPES))
+    # BOTH execution paths must equal full revalidation: the local
+    # interpreter fast path (default; small slices collect to the
+    # driver) and the distributed Validator path (local_max_rows=0)
+    stats: dict = {}
+    inc = incremental_revalidate(
+        spark, new, changed, SHAPES, prev, stats=stats
+    )
+    assert _canon(inc) == full, f"local-path mismatch ({stats.get('mode')})"
+    stats_d: dict = {}
+    inc_d = incremental_revalidate(
+        spark, new, changed, SHAPES, prev, local_max_rows=0, stats=stats_d
+    )
+    assert _canon(inc_d) == full, f"distributed-path mismatch ({stats_d.get('mode')})"
+    assert stats_d.get("mode") != "incremental_local"
 
 
 def test_footprint_analysis():
