@@ -2,7 +2,7 @@
 """spark-submit entry: validate a triples table against a shapes graph.
 
     spark-submit --py-files shacl_spark.zip jobs/validate_graph.py \
-        --data   <parquet dir | .nt N-Triples | .jsonl JSON-LD-lines | .ttl> \
+        --data   <parquet dir | .nt N-Triples | .jsonl JSON-LD-lines | .rdf RDF/XML | .ttl> \
         --shapes <csv/parquet of shapes triples | .ttl> \
         [--report <output parquet dir>]
 
@@ -74,6 +74,10 @@ def main(argv=None) -> int:
 
         ctx = json.loads(args.jsonld_context) if args.jsonld_context else None
         triples = read_jsonld_lines(spark, args.data, context=ctx)
+    elif args.data.endswith(".rdf") or args.data.endswith(".rdfxml"):
+        from shacl_spark.sources.rdfxml import read_rdfxml
+
+        triples = read_rdfxml(spark, args.data)
     else:
         triples = spark.read.parquet(args.data)
     if args.changed and args.prev_report:
