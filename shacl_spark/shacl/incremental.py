@@ -460,23 +460,58 @@ class _LocalEdges:
         self.rdep = defaultdict(list)
         self.cdep = defaultdict(list)
         self.crdep = defaultdict(list)
-        resource = ("iri", "bnode")
+        self.n_rows = 0
+        self.dirty = False
         for r in rows:
-            s, p, o, k = r[0], r[1], r[2], r[3]
-            if p in fp.fwd_preds and k in resource:
-                self.dep[o].append(s)
-                self.cdep[s].append(o)
-            if p in fp.rec_fwd and k in resource:
-                self.rdep[o].append(s)
-                self.crdep[s].append(o)
-            if p in fp.inv_preds:
-                if k in resource:
-                    self.dep[s].append(o)
-                self.cdep[o].append(s)
-            if p in fp.rec_inv:
-                if k in resource:
-                    self.rdep[s].append(o)
-                self.crdep[o].append(s)
+            self._apply(r[0], r[1], r[2], r[3], fp, 1)
+
+    def _upd(self, adj, key: str, val: str, sign: int) -> None:
+        if sign > 0:
+            adj[key].append(val)
+        else:
+            try:
+                adj[key].remove(val)
+            except (KeyError, ValueError):
+                # a retraction for an edge we never saw: the cache has
+                # drifted from the graph — flag it so callers rebuild
+                self.dirty = True
+
+    def _apply(self, s, p, o, k, fp: Footprint, sign: int) -> None:
+        resource = k in ("iri", "bnode")
+        hit = False
+        if p in fp.fwd_preds and resource:
+            self._upd(self.dep, o, s, sign)
+            self._upd(self.cdep, s, o, sign)
+            hit = True
+        if p in fp.rec_fwd and resource:
+            self._upd(self.rdep, o, s, sign)
+            self._upd(self.crdep, s, o, sign)
+            hit = True
+        if p in fp.inv_preds:
+            if resource:
+                self._upd(self.dep, s, o, sign)
+            self._upd(self.cdep, o, s, sign)
+            hit = True
+        if p in fp.rec_inv:
+            if resource:
+                self._upd(self.rdep, s, o, sign)
+            self._upd(self.crdep, o, s, sign)
+            hit = True
+        if hit:
+            self.n_rows += sign
+
+    def apply_delta(self, rows, fp: Footprint) -> "_LocalEdges":
+        """Maintain the adjacency across a NET graph delta (r05
+        streaming steady state): ``rows`` carry the six triple columns
+        and optionally an ``op`` column ('-' retracts, anything else
+        adds).  Rows must be the exact live-set delta (both sinks'
+        ``_compute_delta`` guarantee this) or ``dirty`` trips and the
+        caller rebuilds."""
+        for r in rows:
+            d = r.asDict() if hasattr(r, "asDict") else r
+            sign = -1 if d.get("op") == "-" else 1
+            self._apply(d["subj"], d["pred"], d["obj"], d["obj_kind"], fp, sign)
+        return self
 
     @staticmethod
     def _hop(adj) -> object:
@@ -605,6 +640,7 @@ def incremental_revalidate(
     max_affected: int = 100_000,
     local_max_rows: int = 150_000,
     edge_collect_max: int = 500_000,
+    local_edges: "_LocalEdges | None" = None,
     stats: dict | None = None,
 ) -> DataFrame:
     """Equivalent to ``validate(spark, triples, shapes)`` when
@@ -674,10 +710,18 @@ def incremental_revalidate(
     has_rec = bool(fp.rec_fwd or fp.rec_inv)
     # ONE bounded collect of the footprint-pred edge rows replaces the
     # per-hop broadcast-join jobs for BOTH expansion directions (r05);
-    # above the cap, fall back to per-hop Spark jobs (still capped)
-    ledges = collect_local_edges(triples, fp, edge_collect_max)
+    # above the cap, fall back to per-hop Spark jobs (still capped).
+    # A caller that maintains the adjacency across calls (the streaming
+    # validator applies each batch's net delta) passes ``local_edges``
+    # and skips even that collect — it MUST correspond to ``triples``.
+    if local_edges is not None and not local_edges.dirty:
+        ledges = local_edges
+        stats["edge_mode"] = "cached"
+    else:
+        ledges = collect_local_edges(triples, fp, edge_collect_max)
+        stats["_edges_obj"] = ledges  # callers may retain + maintain it
     if ledges is not None:
-        stats["edge_mode"] = "collected"
+        stats.setdefault("edge_mode", "collected")
         acc = ledges.expand_dep(fp, seeds, max_affected)
     else:
         stats["edge_mode"] = "spark_hops"

@@ -83,6 +83,15 @@ class StreamingValidator:
         else:
             self.sink = TripleUpsertSink(spark, target_dir, n_parts=n_parts)
         self.report_dir = report_dir
+        # steady-state edge cache (r05): the footprint-predicate
+        # adjacency collected by the first incremental batch is RETAINED
+        # and maintained by applying each batch's net delta, so later
+        # batches skip the per-batch full-graph edge collect entirely.
+        # A pure driver-side cache: crash/restart just loses it and the
+        # next batch rebuilds from the durable target (bounded by the
+        # same cap as the collect path).
+        self._edges = None
+        self._edge_cap = 500_000
 
     # --- report versions --------------------------------------------------------
 
@@ -176,7 +185,9 @@ class StreamingValidator:
             if self._report_marks_epoch(epoch_id, fp):
                 return  # target + report both committed for this batch
             # crash landed between the journal write and the report
-            # write: the journalled delta is authoritative
+            # write: the journalled delta is authoritative; the edge
+            # cache may predate the crash — drop it, rebuild next batch
+            self._edges = None
             if self.cdc:
                 journal = self.spark.read.parquet(self._delta_dir(epoch_id))
                 # re-appending (tid, seq, op) rows already present is
@@ -224,6 +235,14 @@ class StreamingValidator:
         open(os.path.join(self._delta_dir(epoch_id), f"_fp_{fp}"), "w").close()
         self.sink._append(applied)
         cur = self.sink.current() if self.cdc else self.sink.current(dedup=False)
+        if self._edges is not None:
+            # roll the cached adjacency forward to the post-append graph
+            # (journal rows are the exact net delta; op '-' retracts)
+            from shacl_spark.shacl.incremental import shapes_footprint
+
+            self._edges.apply_delta(journal.collect(), shapes_footprint(self.shapes))
+            if self._edges.dirty or self._edges.n_rows > self._edge_cap:
+                self._edges = None
         if not self._versions():
             # first batch: there is nothing to merge and the delta IS
             # the graph — a plain full validation gives the identical
@@ -233,6 +252,7 @@ class StreamingValidator:
 
             report = validate(self.spark, cur, self.shapes, assume_distinct=True)
         else:
+            st: dict = {}
             report = incremental_revalidate(
                 self.spark,
                 # append-only target is per-batch deduped on triple
@@ -243,7 +263,13 @@ class StreamingValidator:
                 self.shapes,
                 self.current_report(),
                 assume_distinct=True,
+                local_edges=self._edges,
+                stats=st,
             )
+            if self._edges is None:
+                # retain the adjacency the incremental pass collected
+                # from ``cur`` — subsequent batches maintain it
+                self._edges = st.get("_edges_obj")
         self._write_report(report, epoch_id, fp)
 
     def start(

@@ -278,3 +278,60 @@ def test_sparql_bgp_reaches_this_in_object_position(spark):
     full = validate(spark, new_df, shapes)
     assert {r["focus"] for r in full.collect()} == {"ex:g"}
     assert _canon(inc) == _canon(full)  # the NEW violation must appear
+
+
+def test_local_edges_delta_maintenance(spark):
+    """apply_delta-maintained adjacency == a fresh collect over the
+    post-delta graph (the streaming steady-state contract), and a
+    retraction the cache never saw trips ``dirty``."""
+    from shacl_spark.shacl.incremental import collect_local_edges
+
+    fp = shapes_footprint(parse_shapes_graph(SHAPES))
+    base = _base_rows()
+    added = [
+        ("ex:p9", T, "ex:Person"),
+        ("ex:p9", "ex:knows", "ex:p0"),
+        ("ex:p9", "ex:name", "N9", "literal", STR),
+    ]
+    removed = [("ex:p0", "ex:knows", "ex:rock")]
+    new_rows = [r for r in base if r not in removed] + added
+
+    maintained = collect_local_edges(triples_from_rows(spark, base), fp, 500_000)
+    delta = [r.asDict() for r in triples_from_rows(spark, added).collect()]
+    for r in triples_from_rows(spark, removed).collect():
+        d = r.asDict()
+        d["op"] = "-"
+        delta.append(d)
+    maintained.apply_delta(delta, fp)
+    assert not maintained.dirty
+
+    fresh = collect_local_edges(triples_from_rows(spark, new_rows), fp, 500_000)
+
+    def _norm(adj):
+        return {k: sorted(v) for k, v in adj.items() if v}
+
+    for fam in ("dep", "rdep", "cdep", "crdep"):
+        assert _norm(getattr(maintained, fam)) == _norm(getattr(fresh, fam)), fam
+    assert maintained.n_rows == fresh.n_rows
+
+    # incremental with the maintained cache == full validation
+    new_df = triples_from_rows(spark, new_rows)
+    prev = validate(spark, triples_from_rows(spark, base), SHAPES)
+    st: dict = {}
+    inc = incremental_revalidate(
+        spark,
+        new_df,
+        triples_from_rows(spark, added + removed),
+        SHAPES,
+        prev,
+        local_edges=maintained,
+        stats=st,
+    )
+    assert st["edge_mode"] == "cached"
+    assert _canon(inc) == _canon(validate(spark, new_df, SHAPES))
+
+    # retracting an edge that was never added must trip the drift flag
+    # (use the ex:knows row — a footprint predicate; rdf:type is not)
+    bogus = dict(delta[1], op="-", subj="ex:neverthere")
+    maintained.apply_delta([bogus], fp)
+    assert maintained.dirty

@@ -104,6 +104,48 @@ def test_stream_validation_end_to_end(spark, tmp_path):
     assert sv.sink.current().count() == len(BATCH1) + len(BATCH2)
 
 
+def test_edge_cache_steady_state(spark, tmp_path):
+    """Batch 2 collects the footprint adjacency once; batch 3 runs on
+    the driver-maintained copy (mode 'cached' — no per-batch edge
+    collect) and the final report still equals full validation."""
+    from shacl_spark.shacl import incremental as inc_mod
+
+    stream_dir = str(tmp_path / "in")
+    sv = StreamingValidator(
+        spark, SHAPES, str(tmp_path / "target"), str(tmp_path / "report"), n_parts=4
+    )
+    b3 = [
+        ("ex:c", "ex:name", "C", "literal", STR),   # fixes c
+        ("ex:d", T, "ex:Person"),                   # new violation
+        ("ex:d", "ex:knows", "ex:rock"),            # rock IS a Person now
+    ]
+    _write_batch(spark, BATCH1, stream_dir, "b1")
+    _write_batch(spark, BATCH2, stream_dir, "b2")
+    _write_batch(spark, b3, stream_dir, "b3")
+    modes: list = []
+    orig = inc_mod.incremental_revalidate
+
+    def spy(*a, **kw):
+        st = kw.setdefault("stats", {})
+        out = orig(*a, **kw)
+        modes.append(st.get("edge_mode"))
+        return out
+
+    import shacl_spark.streaming.validate_stream as vs_mod
+
+    vs_mod.incremental_revalidate, inc_mod.incremental_revalidate = spy, spy
+    try:
+        _run(spark, sv, stream_dir)
+    finally:
+        vs_mod.incremental_revalidate = inc_mod.incremental_revalidate = orig
+    # batch1 = first-batch full validate (no incremental call);
+    # batch2 collects; batch3 reuses the maintained adjacency
+    assert modes == ["collected", "cached"]
+    assert sv._edges is not None and not sv._edges.dirty
+    full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2 + b3), SHAPES)
+    assert _canon(sv.current_report()) == _canon(full)
+
+
 def _batch_df(spark, rows):
     return triples_from_rows(spark, rows).select(SIX)
 
