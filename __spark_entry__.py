@@ -1981,7 +1981,14 @@ DRIVER_WINDOW = 50
 # shacl_* queries registered AFTER the 50-slot window (the window is
 # zero-sum: these are hash-checked by tests/test_queries_contract.py at
 # sf0.001 and sf0.01, just not by the driver's own CORRECTNESS capture)
-_POST_WINDOW_SHACL = {"shacl_path_oneormore_zeroorone"}
+_POST_WINDOW_SHACL = {
+    "shacl_path_oneormore_zeroorone",
+    # r05: standalone SPARQL SELECT surface (sparql.translate_select)
+    "sparql_select_engine",
+    "sparql_select_agg",
+    # r05: RDFS entailment closure (shacl/entailment.py)
+    "rdfs_entailment_closure",
+}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -60,26 +60,10 @@ def main(argv=None) -> int:
     from shacl_spark.shacl import summarize, validate
 
     spark = get_spark("validate_graph", master=args.master)
-    if args.data.endswith(".ttl") or args.data.endswith(".turtle"):
-        from shacl_spark.functions.terms import triples_from_rows
-        from shacl_spark.shacl.turtle import parse_turtle_file
+    from shacl_spark.sources.graph import read_graph
 
-        triples = triples_from_rows(spark, parse_turtle_file(args.data))
-    elif args.data.endswith(".nt") or args.data.endswith(".ntriples"):
-        from shacl_spark.sources.ntriples import read_ntriples
-
-        triples = read_ntriples(spark, args.data)
-    elif args.data.endswith(".jsonl") or args.data.endswith(".jsonld"):
-        from shacl_spark.sources.jsonld import read_jsonld_lines
-
-        ctx = json.loads(args.jsonld_context) if args.jsonld_context else None
-        triples = read_jsonld_lines(spark, args.data, context=ctx)
-    elif args.data.endswith(".rdf") or args.data.endswith(".rdfxml"):
-        from shacl_spark.sources.rdfxml import read_rdfxml
-
-        triples = read_rdfxml(spark, args.data)
-    else:
-        triples = spark.read.parquet(args.data)
+    ctx = json.loads(args.jsonld_context) if args.jsonld_context else None
+    triples = read_graph(spark, args.data, jsonld_context=ctx)
     if args.changed and args.prev_report:
         from shacl_spark.shacl.incremental import incremental_revalidate
 

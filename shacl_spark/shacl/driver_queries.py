@@ -765,3 +765,108 @@ FROM focus f
 JOIN t m ON m.subj = f.f AND m.pred = 'ex:email'
 GROUP BY f.f HAVING count(*) > 2""",
 )
+
+
+# --- r05: standalone SPARQL SELECT surface (sparql.translate_select) ---------
+# Post-window registry entries (the 50-slot driver window is zero-sum);
+# DuckDB-hash-checked by tests/test_queries_contract.py like every
+# other oracle-backed query.
+
+
+def _sparql_select_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Public SELECT surface (jobs/query_graph.py path): BGP equi-joins
+    + OPTIONAL unit left-join + SELECT DISTINCT over the committed
+    fixture graph, with full term-fidelity columns per variable."""
+    from shacl_spark.shacl.sparql import sparql_select
+
+    return sparql_select(
+        spark.read.parquet(FIXTURE),
+        "PREFIX ex: <ex:> SELECT DISTINCT ?p ?n ?org WHERE { "
+        "?p a ex:Person . ?p ex:name ?n . OPTIONAL { ?p ex:worksFor ?org } }",
+    )
+
+
+_sparql_select_engine.__name__ = "sparql_select_engine"
+SHACL_QUERIES["sparql_select_engine"] = _sparql_select_engine
+SHACL_ORACLES["sparql_select_engine"] = f"""WITH t AS ({_TSRC}),
+person AS (SELECT DISTINCT subj FROM t
+           WHERE pred = '{T}' AND obj = 'ex:Person' AND obj_kind = 'iri')
+SELECT DISTINCT
+  person.subj AS p,
+  CASE WHEN starts_with(person.subj, '_:') THEN 'bnode' ELSE 'iri' END AS p_kind,
+  CAST(NULL AS VARCHAR) AS p_dt, CAST(NULL AS VARCHAR) AS p_lang,
+  nm.obj AS n, nm.obj_kind AS n_kind, nm.obj_dt AS n_dt, nm.obj_lang AS n_lang,
+  wf.obj AS org, wf.obj_kind AS org_kind, wf.obj_dt AS org_dt,
+  wf.obj_lang AS org_lang
+FROM person
+JOIN t nm ON nm.subj = person.subj AND nm.pred = 'ex:name'
+LEFT JOIN t wf ON wf.subj = person.subj AND wf.pred = 'ex:worksFor'"""
+
+
+def _sparql_select_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SELECT with GROUP BY over an ordinary variable (constraint mode
+    forces ?this into GROUP BY; the standalone surface does not):
+    employees per department, HAVING-filtered."""
+    from shacl_spark.shacl.sparql import sparql_select
+
+    return sparql_select(
+        spark.read.parquet(FIXTURE),
+        "PREFIX ex: <ex:> SELECT ?dept (COUNT(?p) AS ?n) WHERE { "
+        "?p a ex:Employee . ?p ex:dept ?dept } "
+        "GROUP BY ?dept HAVING (COUNT(?p) > 1)",
+    )
+
+
+_sparql_select_agg.__name__ = "sparql_select_agg"
+SHACL_QUERIES["sparql_select_agg"] = _sparql_select_agg
+SHACL_ORACLES["sparql_select_agg"] = f"""WITH t AS ({_TSRC}),
+emp AS (SELECT DISTINCT subj FROM t
+        WHERE pred = '{T}' AND obj = 'ex:Employee' AND obj_kind = 'iri'),
+d AS (SELECT tt.obj, tt.obj_kind, tt.obj_dt, tt.obj_lang
+      FROM emp e JOIN t tt ON tt.subj = e.subj AND tt.pred = 'ex:dept')
+SELECT obj AS dept, obj_kind AS dept_kind, obj_dt AS dept_dt,
+       obj_lang AS dept_lang,
+       CAST(count(*) AS VARCHAR) AS n, 'literal' AS n_kind,
+       '{XSD}integer' AS n_dt, CAST(NULL AS VARCHAR) AS n_lang
+FROM d GROUP BY obj, obj_kind, obj_dt, obj_lang HAVING count(*) > 1"""
+
+
+# --- r05: RDFS entailment closure (shacl/entailment.py) ----------------------
+
+
+def _rdfs_entailment_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Materialized RDFS closure of the fixture graph — broadcast-join
+    application of driver-computed schema closures (rdfs5/7/2/3/11/9);
+    the oracle recomputes it with a recursive CTE."""
+    from shacl_spark.shacl.entailment import rdfs_entailment
+
+    return rdfs_entailment(spark.read.parquet(FIXTURE)).select(
+        "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"
+    )
+
+
+_rdfs_entailment_closure.__name__ = "rdfs_entailment_closure"
+SHACL_QUERIES["rdfs_entailment_closure"] = _rdfs_entailment_closure
+SHACL_ORACLES["rdfs_entailment_closure"] = f"""WITH RECURSIVE t AS ({_TSRC}),
+e AS (SELECT subj AS c, obj AS s FROM t
+      WHERE pred = '{SCO}' AND obj_kind <> 'literal'),
+clo AS (SELECT c, s FROM e
+        UNION
+        SELECT clo.c, e.s FROM clo JOIN e ON e.c = clo.s),
+new_sco AS (SELECT c AS subj, '{SCO}' AS pred, s AS obj FROM clo
+            WHERE c <> s AND NOT EXISTS (
+              SELECT 1 FROM t
+              WHERE t.pred = '{SCO}' AND t.subj = clo.c AND t.obj = clo.s)),
+new_type AS (SELECT DISTINCT ty.subj, '{T}' AS pred, clo.s AS obj
+             FROM (SELECT subj, obj AS c FROM t WHERE pred = '{T}') ty
+             JOIN clo ON clo.c = ty.c
+             WHERE clo.c <> clo.s AND NOT EXISTS (
+               SELECT 1 FROM t x
+               WHERE x.pred = '{T}' AND x.subj = ty.subj AND x.obj = clo.s))
+SELECT subj, pred, obj, obj_kind, obj_dt, obj_lang FROM t
+UNION ALL
+SELECT subj, pred, obj, 'iri', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM new_sco
+UNION ALL
+SELECT subj, pred, obj, 'iri', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
+FROM new_type"""

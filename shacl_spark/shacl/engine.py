@@ -880,14 +880,35 @@ def validate(
     triples: DataFrame,
     shapes_rows_or_graph,
     assume_distinct: bool = False,
+    entailment: str | None = None,
 ) -> DataFrame:
     """Validate the data triples against a shapes graph (triple rows, a
-    small DataFrame, or an already-parsed :class:`ShapesGraph`)."""
+    small DataFrame, or an already-parsed :class:`ShapesGraph`).
+
+    ``entailment='rdfs'`` — or an ``sh:entailment
+    <http://www.w3.org/ns/entailment/RDFS>`` declaration in the shapes
+    graph (SPEC §1.5) — materializes the RDFS closure of the data graph
+    first (shacl/entailment.py); any other declared regime fails, as
+    the SPEC requires."""
     shapes = (
         shapes_rows_or_graph
         if isinstance(shapes_rows_or_graph, ShapesGraph)
         else parse_shapes_graph(shapes_rows_or_graph)
     )
+    from shacl_spark.shacl.entailment import RDFS_ENTAILMENT_IRI, rdfs_entailment
+
+    ents = getattr(shapes, "entailments", ())
+    unsupported = [e for e in ents if e != RDFS_ENTAILMENT_IRI]
+    if unsupported:
+        raise ValueError(
+            f"unsupported sh:entailment regime(s) {unsupported} (SPEC §1.5 "
+            "requires failure; supported: RDFS)"
+        )
+    if entailment not in (None, "rdfs"):
+        raise ValueError(f"unsupported entailment {entailment!r} (supported: 'rdfs')")
+    if ents or entailment == "rdfs":
+        triples = rdfs_entailment(triples)
+        assume_distinct = False
     return Validator(spark, triples, shapes, assume_distinct=assume_distinct).validate()
 
 

@@ -679,6 +679,12 @@ def incremental_revalidate(
         stats["mode"] = mode
         return validate(spark, triples, shapes, assume_distinct=assume_distinct)
 
+    # an entailment regime makes a delta's consequences non-local (one
+    # schema edge retypes arbitrary nodes) — full revalidation is the
+    # only correct answer (r05; validate() applies the closure)
+    if getattr(shapes, "entailments", ()):
+        return _full("full_entailment")
+
     # ONE bounded collect: the limit caps driver-side materialization,
     # and landing exactly cap+1 rows proves the delta itself is too big
     ch_rows = changed.select(

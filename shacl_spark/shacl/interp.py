@@ -659,7 +659,10 @@ def precision_recall(engine_rows, oracle_results) -> tuple[float, float]:
 # Shares the PARSER with the engine (pure AST construction); execution
 # here is independent nested-loop matching per focus node.
 
-def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
+def _sparql_solutions(store: Store, q, focus: Term | None) -> list[dict]:
+    """Solutions of ``q`` over ``store``; ``focus`` pre-binds ?this
+    (constraint mode, SPEC §5.3.1) or ``None`` for the standalone
+    SELECT surface (r05 — parity twin of sparql.translate_select)."""
     from shacl_spark.shacl.sparql import BinOp, Call, Iri, Lit, Not, Var
 
     def match_term(pat, term_val, term: Term | None, binds):
@@ -710,8 +713,8 @@ def _sparql_solutions(store: Store, q, focus: Term) -> list[dict]:
     # engine's NULL anchor never matches).
     from shacl_spark.shacl.sparql import _pattern_vars
 
-    binds_list = [{"this": focus}]
-    stat_bound = {"this"}
+    binds_list = [{"this": focus}] if focus is not None else [{}]
+    stat_bound = {"this"} if focus is not None else set()
     statements = getattr(q, "statements", None) or (
         [("pattern", p) for p in q.patterns]
         + [("union", a) for a in getattr(q, "unions", [])]

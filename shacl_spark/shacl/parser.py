@@ -158,6 +158,9 @@ def parse_shapes_graph(rows_or_df) -> ShapesGraph:
         rows = list(rows_or_df)
     g = _Graph(rows)
     sg = ShapesGraph()
+    sg.entailments = tuple(
+        sorted({r[2] for r in rows if r[1] == SH + "entailment"})
+    )
 
     for iri in sorted(_collect_shape_iris(g)):
         path_term = g.obj(iri, SH + "path")

@@ -193,6 +193,10 @@ class ShapesGraph:
     """Registry of all parsed shapes + the DAG order for evaluation."""
 
     shapes: dict[str, Shape] = field(default_factory=dict)
+    # sh:entailment declarations found in the shapes graph (SPEC §1.5):
+    # validate() applies supported regimes (RDFS) to the data graph and
+    # MUST fail on unsupported ones
+    entailments: tuple = ()
 
     def __getitem__(self, iri: str) -> Shape:
         return self.shapes[iri]

@@ -140,6 +140,17 @@ class Query:
     aggregates: list[tuple[Agg, str]] = field(default_factory=list)
     group_by: list[str] = field(default_factory=list)
     having: object | None = None
+    # SELECT DISTINCT (r05 select surface): set semantics on the
+    # projected solutions.  Constraint mode always distincts (violation
+    # sets); this flag only matters for translate_select.
+    distinct: bool = False
+    # ORDER BY [DESC(?v)|ASC(?v)|?v]... LIMIT n (r05 select surface).
+    # Ordering subset: numeric-castable literals sort numerically and
+    # before non-numeric terms; everything else by lexical form;
+    # unbound last.  LIMIT compiles to orderBy().limit() →
+    # TakeOrderedAndProject (top-k, no global sort materialization).
+    order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
+    limit: int | None = None
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -163,7 +174,12 @@ _TOK = re.compile(
 
 
 class SparqlParser:
-    def __init__(self, text: str):
+    def __init__(self, text: str, constraint: bool = True):
+        # constraint mode (sh:sparql, SPEC §5): ?this is the pre-bound
+        # focus variable and must survive GROUP BY.  The standalone
+        # SELECT surface (translate_select) parses with constraint=False
+        # — no special variable, DISTINCT allowed.
+        self.constraint = constraint
         self.toks: list[tuple[str, str]] = []
         pos = 0
         while pos < len(text):
@@ -200,6 +216,12 @@ class SparqlParser:
             iri = self._expect("iri")
             self.prefixes[pv[:-1]] = iri[1:-1]
         self._expect(val="SELECT")
+        if (
+            self._peek()[0] == "ident"
+            and (self._peek()[1] or "").upper() == "DISTINCT"
+        ):
+            self._next()
+            q.distinct = True
         while True:
             k, v = self._peek()
             if k == "var":
@@ -306,10 +328,39 @@ class SparqlParser:
             self._expect("punct", "(")
             q.having = self._expr()
             self._expect("punct", ")")
+        k, v = self._peek()
+        if k == "ident" and (v or "").upper() == "ORDER":
+            self._next()
+            self._expect("ident", "BY")
+            while True:
+                k, v = self._peek()
+                if k == "var":
+                    q.order_by.append((self._next()[1][1:].lower(), False))
+                    continue
+                if k == "ident" and (v or "").upper() in ("ASC", "DESC"):
+                    desc = v.upper() == "DESC"
+                    self._next()
+                    self._expect("punct", "(")
+                    vk, vv = self._next()
+                    if vk != "var":
+                        raise ValueError("sparql: ORDER BY ASC/DESC needs a var")
+                    q.order_by.append((vv[1:].lower(), desc))
+                    self._expect("punct", ")")
+                    continue
+                break
+            if not q.order_by:
+                raise ValueError("sparql: ORDER BY needs at least one key")
+        k, v = self._peek()
+        if k == "ident" and (v or "").upper() == "LIMIT":
+            self._next()
+            nk, nv = self._next()
+            if nk != "num" or "." in nv or int(nv) < 0:
+                raise ValueError(f"sparql: bad LIMIT {nv!r}")
+            q.limit = int(nv)
         if (q.aggregates or q.having is not None) and not q.group_by:
             raise ValueError("sparql: aggregates require GROUP BY in this subset")
         if q.group_by:
-            if "this" not in q.group_by:
+            if self.constraint and "this" not in q.group_by:
                 raise ValueError("sparql: GROUP BY must include ?this")
             agg_aliases = {a for _, a in q.aggregates}
             plain = [s for s in q.select if s not in agg_aliases]
@@ -457,8 +508,8 @@ class SparqlParser:
 _FUNCS = ("regex", "str", "datatype", "isiri", "isliteral", "isblank", "bound")
 
 
-def parse_sparql(text: str) -> Query:
-    return SparqlParser(text).parse()
+def parse_sparql(text: str, constraint: bool = True) -> Query:
+    return SparqlParser(text, constraint=constraint).parse()
 
 
 # --- translation ---------------------------------------------------------------
@@ -487,7 +538,89 @@ def translate(
     )
     bound = {"this"}
     counter = [0]
+    cur = _solution_frame(cur, bound, query, triples, counter)
 
+    if query.group_by:
+        cur = _apply_aggregation(cur, query, bound)
+        bound = set(query.group_by) | {a for _, a in query.aggregates}
+
+    cols = [F.col("__this__node").alias("focus")]
+    if "value" in query.select and "value" in bound:
+        cols += [
+            F.col(_vcol("value", "val")).alias("value"),
+            F.col(_vcol("value", "kind")).alias("kind"),
+            F.col(_vcol("value", "dt")).alias("dt"),
+            F.col(_vcol("value", "lang")).alias("lang"),
+        ]
+    return cur.select(*cols).distinct()
+
+
+def translate_select(query: Query, triples: DataFrame) -> DataFrame:
+    """Standalone ``SELECT`` evaluation (r05) — the same WHERE-clause
+    algebra as the constraint translator, seeded from a unit frame
+    instead of a pre-bound focus set, projecting EVERY selected
+    variable as four term columns ``v / v_kind / v_dt / v_lang``.
+
+    Bag semantics by default (SPARQL SELECT); ``SELECT DISTINCT``
+    applies set semantics.  Parse with ``parse_sparql(text,
+    constraint=False)`` so GROUP BY is not forced to include ?this."""
+    spark = triples.sparkSession
+    cur = spark.range(1).select(F.lit(1).alias("__unit"))
+    bound: set[str] = set()
+    counter = [0]
+    cur = _solution_frame(cur, bound, query, triples, counter)
+
+    if query.group_by:
+        cur = _apply_aggregation(cur, query, bound, with_this=False)
+        bound = set(query.group_by) | {a for _, a in query.aggregates}
+
+    missing = set(query.select) - bound
+    if missing:
+        raise ValueError(f"sparql: SELECT references unbound vars {missing}")
+    cols = []
+    for v in query.select:
+        cols += [
+            F.col(_vcol(v, "val")).alias(v),
+            F.col(_vcol(v, "kind")).alias(f"{v}_kind"),
+            F.col(_vcol(v, "dt")).alias(f"{v}_dt"),
+            F.col(_vcol(v, "lang")).alias(f"{v}_lang"),
+        ]
+    out = cur.select(*cols)
+    if query.distinct:
+        out = out.distinct()
+    if query.order_by:
+        missing = {v for v, _ in query.order_by} - set(query.select)
+        if missing:
+            raise ValueError(
+                f"sparql: ORDER BY references unselected vars {missing}"
+            )
+        keys = []
+        for v, desc in query.order_by:
+            val = F.col(v)
+            num = val.try_cast("double")
+            # unbound last, numeric-castable before lexical, then value
+            for key in (val.isNull(), num.isNull(), num, val):
+                keys.append(key.desc() if desc else key.asc())
+        out = out.orderBy(*keys)
+    if query.limit is not None:
+        out = out.limit(query.limit)
+    return out
+
+
+def sparql_select(triples: DataFrame, text: str) -> DataFrame:
+    """Public SPARQL SELECT surface over a canonical triple frame
+    (§1.3 schema).  Returns one row per solution with term-fidelity
+    columns per variable — the entry point jobs/query_graph.py and the
+    registry query ``sparql_select_engine`` use."""
+    return translate_select(parse_sparql(text, constraint=False), triples)
+
+
+def _solution_frame(
+    cur: DataFrame, bound: set, query: Query, triples: DataFrame, counter: list
+) -> DataFrame:
+    """Run the WHERE clause — pattern / OPTIONAL / UNION statements in
+    textual order, then FILTER [NOT] EXISTS groups, then plain FILTERs
+    — over an initial solution frame.  ``bound`` is mutated in place."""
     # statements run in TEXTUAL order (r04 review #2): SPARQL joins
     # pattern / OPTIONAL / UNION statements left-to-right, so a UNION
     # arm consuming an OPTIONAL-bound variable sees it bound only when
@@ -607,19 +740,7 @@ def translate(
             raise ValueError(f"sparql: FILTER references unbound vars {missing}")
         cur = cur.where(_expr_col(flt))
 
-    if query.group_by:
-        cur = _apply_aggregation(cur, query, bound)
-        bound = set(query.group_by) | {a for _, a in query.aggregates}
-
-    cols = [F.col("__this__node").alias("focus")]
-    if "value" in query.select and "value" in bound:
-        cols += [
-            F.col(_vcol("value", "val")).alias("value"),
-            F.col(_vcol("value", "kind")).alias("kind"),
-            F.col(_vcol("value", "dt")).alias("dt"),
-            F.col(_vcol("value", "lang")).alias("lang"),
-        ]
-    return cur.select(*cols).distinct()
+    return cur
 
 
 def _agg_specs(query: Query) -> list[Agg]:
@@ -680,7 +801,9 @@ def _having_col(e, aggmap: dict) -> Column:
     raise ValueError(f"sparql: unsupported HAVING expression {e!r}")
 
 
-def _apply_aggregation(cur: DataFrame, query: Query, bound: set) -> DataFrame:
+def _apply_aggregation(
+    cur: DataFrame, query: Query, bound: set, with_this: bool = True
+) -> DataFrame:
     """GROUP BY + aggregate projections + HAVING over the solution frame
     (r05, VERDICT r04 #5 — the 'count over a join' constraint shape).
     One ``groupBy().agg()`` — map-side partial aggregation plus a single
@@ -691,7 +814,7 @@ def _apply_aggregation(cur: DataFrame, query: Query, bound: set) -> DataFrame:
     missing = set(query.group_by) - bound
     if missing:
         raise ValueError(f"sparql: GROUP BY references unbound vars {missing}")
-    keys = ["__this__node"] + [
+    keys = (["__this__node"] if with_this else []) + [
         _vcol(g, p) for g in query.group_by for p in _VCOLS
     ]
     specs = _agg_specs(query)

@@ -1,0 +1,222 @@
+"""Standalone SPARQL SELECT surface (r05): sparql.translate_select /
+sparql_select + jobs/query_graph.py.
+
+Parity twin: shacl_spark.shacl.interp._sparql_solutions with
+``focus=None`` — the same row-exact interpreter the incremental fast
+path is pinned to, so both execution models answer every query here.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+
+from shacl_spark.functions.terms import XSD, triples_from_rows
+from shacl_spark.shacl.interp import Store, Term, _sparql_solutions, tkey
+from shacl_spark.shacl.sparql import parse_sparql, sparql_select
+
+DATA = [
+    ("ex:a", "rdf:type", "ex:Person"),
+    ("ex:b", "rdf:type", "ex:Person"),
+    ("ex:c", "rdf:type", "ex:Robot"),
+    ("ex:a", "ex:name", "Alice", "literal", XSD + "string"),
+    ("ex:b", "ex:name", "Bob", "literal", XSD + "string"),
+    ("ex:b", "ex:name", "Bobby", "literal", XSD + "string"),
+    ("ex:c", "ex:name", "C3PO", "literal", XSD + "string"),
+    ("ex:a", "ex:worksFor", "ex:acme"),
+    ("ex:a", "ex:knows", "ex:b"),
+    ("ex:b", "ex:knows", "ex:c"),
+    ("ex:a", "ex:age", "41", "literal", XSD + "integer"),
+    ("ex:b", "ex:age", "nope", "literal", XSD + "integer"),
+]
+
+PFX = "PREFIX ex: <ex:> PREFIX rdf: <rdf:> "
+
+
+def _engine_rows(spark, query: str) -> list[tuple]:
+    df = sparql_select(triples_from_rows(spark, DATA), query)
+    return sorted(
+        tuple(r[c] for c in df.columns) for r in df.collect()
+    ), df.columns
+
+
+def _interp_rows(query: str, columns: list[str]) -> list[tuple]:
+    q = parse_sparql(query, constraint=False)
+    sols = _sparql_solutions(Store(DATA), q, None)
+    if q.distinct:
+        seen, uniq = set(), []
+        for s in sols:
+            k = tuple(tkey(s[v]) if v in s else None for v in q.select)
+            if k not in seen:
+                seen.add(k)
+                uniq.append(s)
+        sols = uniq
+    out = []
+    for s in sols:
+        row = []
+        for v in q.select:
+            t = s.get(v)
+            if t is None:
+                row += [None, None, None, None]
+            else:
+                dt = t.dt
+                lang = t.lang
+                row += [t.value, t.kind, dt, lang]
+        out.append(tuple(row))
+    return sorted(out)
+
+
+def _parity(spark, query: str):
+    got, cols = _engine_rows(spark, query)
+    want = _interp_rows(query, cols)
+    assert got == want, f"engine={got}\ninterp={want}"
+    return got
+
+
+def test_basic_projection_parity(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?n WHERE { ?s rdf:type ex:Person . ?s ex:name ?n }",
+    )
+    # bag semantics: ex:b has two names -> three rows total
+    assert len(rows) == 3
+    assert {r[0] for r in rows} == {"ex:a", "ex:b"}
+
+
+def test_distinct_vs_bag(spark):
+    bag, _ = _engine_rows(
+        spark, PFX + "SELECT ?s WHERE { ?s ex:name ?n }"
+    )
+    assert len(bag) == 4  # ex:b contributes twice
+    dset, _ = _engine_rows(
+        spark, PFX + "SELECT DISTINCT ?s WHERE { ?s ex:name ?n }"
+    )
+    assert len(dset) == 3
+
+
+def test_optional_unbound_columns(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT DISTINCT ?s ?org WHERE { ?s rdf:type ex:Person . "
+        "OPTIONAL { ?s ex:worksFor ?org } }",
+    )
+    by_s = {r[0]: r[4] for r in rows}
+    assert by_s == {"ex:a": "ex:acme", "ex:b": None}
+
+
+def test_union_and_filter(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT DISTINCT ?s ?v WHERE { "
+        "{ ?s ex:worksFor ?v } UNION { ?s ex:knows ?v } "
+        "FILTER (?v != ex:c) }",
+    )
+    assert {(r[0], r[4]) for r in rows} == {("ex:a", "ex:acme"), ("ex:a", "ex:b")}
+
+
+def test_aggregate_group_by_plain_var(spark):
+    # GROUP BY without ?this — rejected in constraint mode, fine here
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s ex:name ?n } "
+        "GROUP BY ?s HAVING (COUNT(?n) > 1)",
+    )
+    assert len(rows) == 1
+    assert rows[0][0] == "ex:b" and rows[0][4] == "2"
+    assert rows[0][6] == XSD + "integer"
+
+
+def test_sum_skips_malformed(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s (SUM(?a) AS ?t) WHERE { ?s ex:age ?a } GROUP BY ?s",
+    )
+    by_s = {r[0]: r[4] for r in rows}
+    # ex:b's age 'nope' fails the cast; an all-error group leaves the
+    # alias unbound (NULL), mirroring constraint-mode semantics
+    assert by_s == {"ex:a": "41", "ex:b": None}
+
+
+def test_exists_not_exists(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT DISTINCT ?s WHERE { ?s rdf:type ex:Person . "
+        "FILTER NOT EXISTS { ?s ex:worksFor ?o } }",
+    )
+    assert [r[0] for r in rows] == ["ex:b"]
+
+
+def test_order_by_limit(spark):
+    df = sparql_select(
+        triples_from_rows(spark, DATA),
+        PFX + "SELECT DISTINCT ?s ?n WHERE { ?s ex:name ?n } "
+        "ORDER BY DESC(?n) LIMIT 3",
+    )
+    rows = [(r["s"], r["n"]) for r in df.collect()]
+    # lexical DESC over the four names, top 3
+    assert rows == [("ex:c", "C3PO"), ("ex:b", "Bobby"), ("ex:b", "Bob")]
+
+
+def test_order_by_numeric_before_lexical(spark):
+    df = sparql_select(
+        triples_from_rows(spark, DATA),
+        PFX + "SELECT ?s ?a WHERE { ?s ex:age ?a } ORDER BY ?a",
+    )
+    rows = [(r["s"], r["a"]) for r in df.collect()]
+    # numeric-castable '41' sorts before non-numeric 'nope'
+    assert rows == [("ex:a", "41"), ("ex:b", "nope")]
+
+
+def test_order_by_unselected_var_raises(spark):
+    with pytest.raises(ValueError, match="ORDER BY references"):
+        sparql_select(
+            triples_from_rows(spark, DATA),
+            PFX + "SELECT ?s WHERE { ?s ex:name ?n } ORDER BY ?n",
+        )
+
+
+def test_select_unbound_var_raises(spark):
+    with pytest.raises(ValueError, match="unbound"):
+        sparql_select(
+            triples_from_rows(spark, DATA),
+            PFX + "SELECT ?s ?ghost WHERE { ?s ex:name ?n }",
+        )
+
+
+def test_constraint_mode_still_requires_this_in_group_by():
+    with pytest.raises(ValueError, match="GROUP BY must include"):
+        parse_sparql(
+            PFX + "SELECT ?s (COUNT(?n) AS ?c) WHERE { ?s ex:name ?n } "
+            "GROUP BY ?s"
+        )
+
+
+def test_query_graph_cli(spark, tmp_path, capsys):
+    import sys
+
+    sys.modules.pop("jobs.query_graph", None)
+    nt = tmp_path / "g.nt"
+    nt.write_text(
+        "<ex:a> <ex:p> <ex:b> .\n"
+        '<ex:a> <ex:name> "Alice" .\n'
+        "<ex:b> <ex:p> <ex:c> .\n"
+    )
+    from jobs.query_graph import main
+
+    out = tmp_path / "res"
+    rc = main(
+        [
+            "--data", str(nt),
+            "--query", "SELECT ?x ?y WHERE { ?x <ex:p> ?y }",
+            "--out", str(out),
+        ]
+    )
+    assert rc == 0
+    res = spark.read.parquet(str(out))
+    assert sorted((r["x"], r["y"]) for r in res.collect()) == [
+        ("ex:a", "ex:b"),
+        ("ex:b", "ex:c"),
+    ]
+    summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert summary["rows"] == 2
