@@ -1986,6 +1986,9 @@ _POST_WINDOW_SHACL = {
     # r05: standalone SPARQL SELECT surface (sparql.translate_select)
     "sparql_select_engine",
     "sparql_select_agg",
+    # r05: CONSTRUCT / ASK query forms (sparql.sparql_query)
+    "sparql_construct_engine",
+    "sparql_ask_engine",
     # r05: RDFS entailment closure (shacl/entailment.py)
     "rdfs_entailment_closure",
 }

@@ -1,5 +1,9 @@
 #!/usr/bin/env python
-"""spark-submit entry: run a SPARQL SELECT query over an RDF graph.
+"""spark-submit entry: run a SPARQL query over an RDF graph.
+
+SELECT prints solution rows; CONSTRUCT prints (or writes) the
+constructed graph as canonical six-column triple rows; ASK prints one
+``{"ask": true|false}`` row.
 
     spark-submit --py-files shacl_spark.zip jobs/query_graph.py \
         --data  <parquet dir | .nt | .jsonl JSON-LD-lines | .rdf | .ttl> \
@@ -39,14 +43,14 @@ def main(argv=None) -> int:
     args = p.parse_args(argv)
 
     from shacl_spark.session import get_spark
-    from shacl_spark.shacl.sparql import sparql_select
+    from shacl_spark.shacl.sparql import sparql_query
     from shacl_spark.sources.graph import read_graph
 
     text = args.query or open(args.query_file).read()
     spark = get_spark("query_graph", master=args.master)
     ctx = json.loads(args.jsonld_context) if args.jsonld_context else None
     triples = read_graph(spark, args.data, jsonld_context=ctx)
-    result = sparql_select(triples, text)
+    result = sparql_query(triples, text)
 
     if args.out:
         result.write.mode("overwrite").parquet(args.out)

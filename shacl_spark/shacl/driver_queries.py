@@ -870,3 +870,61 @@ FROM new_sco
 UNION ALL
 SELECT subj, pred, obj, 'iri', CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR)
 FROM new_type"""
+
+
+# --- r05: SPARQL CONSTRUCT / ASK forms (sparql.sparql_query) ------------------
+
+
+def _sparql_construct_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CONSTRUCT over the fixture graph: per-solution template
+    instantiation with the SPARQL skip rules (unbound OPTIONAL var ->
+    that triple omitted), graph set semantics; returned as the
+    canonical six-column triple frame."""
+    from shacl_spark.shacl.sparql import sparql_query
+
+    return sparql_query(
+        spark.read.parquet(FIXTURE),
+        "PREFIX ex: <ex:> CONSTRUCT { ?p ex:label ?n . ?p a ex:Named . "
+        "?p ex:employer ?org } WHERE { ?p a ex:Person . ?p ex:name ?n . "
+        "OPTIONAL { ?p ex:worksFor ?org } }",
+    )
+
+
+_sparql_construct_engine.__name__ = "sparql_construct_engine"
+SHACL_QUERIES["sparql_construct_engine"] = _sparql_construct_engine
+SHACL_ORACLES["sparql_construct_engine"] = f"""WITH t AS ({_TSRC}),
+person AS (SELECT DISTINCT subj FROM t
+           WHERE pred = '{T}' AND obj = 'ex:Person' AND obj_kind = 'iri'),
+nm AS (SELECT p.subj, tt.obj, tt.obj_kind, tt.obj_dt, tt.obj_lang
+       FROM person p JOIN t tt ON tt.subj = p.subj AND tt.pred = 'ex:name')
+SELECT DISTINCT subj, 'ex:label' AS pred, obj, obj_kind, obj_dt, obj_lang
+FROM nm
+UNION
+SELECT DISTINCT subj, '{T}' AS pred, 'ex:Named' AS obj, 'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang
+FROM nm
+UNION
+SELECT DISTINCT w.subj, 'ex:employer' AS pred, w.obj, w.obj_kind,
+       w.obj_dt, w.obj_lang
+FROM t w
+WHERE w.pred = 'ex:worksFor' AND w.subj IN (SELECT subj FROM nm)"""
+
+
+def _sparql_ask_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ASK over the fixture graph — one lazy boolean row (limit(1)
+    short-circuits the scan)."""
+    from shacl_spark.shacl.sparql import sparql_query
+
+    return sparql_query(
+        spark.read.parquet(FIXTURE),
+        "PREFIX ex: <ex:> ASK { ?p a ex:Employee . ?p ex:dept ?d }",
+    )
+
+
+_sparql_ask_engine.__name__ = "sparql_ask_engine"
+SHACL_QUERIES["sparql_ask_engine"] = _sparql_ask_engine
+SHACL_ORACLES["sparql_ask_engine"] = f"""WITH t AS ({_TSRC})
+SELECT EXISTS (
+  SELECT 1 FROM t e JOIN t d ON d.subj = e.subj AND d.pred = 'ex:dept'
+  WHERE e.pred = '{T}' AND e.obj = 'ex:Employee' AND e.obj_kind = 'iri'
+) AS ask"""

@@ -739,6 +739,56 @@ def _sparql_solutions(store: Store, q, focus: Term | None) -> list[dict]:
             for arm in payload:
                 stat_bound |= _pattern_vars(arm)
             continue
+        if kind == "values":
+            # inline data (r05): join compatibility per shared var —
+            # unbound on either side or term-equal; merged solution
+            # takes the bound side
+            from shacl_spark.shacl.sparql import Iri
+
+            vars_, rows = payload
+            row_binds = []
+            for row in rows:
+                rb = {}
+                for v, t in zip(vars_, row):
+                    if t is None:
+                        continue
+                    rb[v] = (
+                        Term(t.value, "iri")
+                        if isinstance(t, Iri)
+                        else Term(t.value, "literal", t.dt, t.lang)
+                    )
+                row_binds.append(rb)
+            nxt = []
+            for b in binds_list:
+                for rb in row_binds:
+                    if any(
+                        v in b and v in rb and tkey(b[v]) != tkey(rb[v])
+                        for v in vars_
+                    ):
+                        continue
+                    m = dict(b)
+                    for v, t in rb.items():
+                        m.setdefault(v, t)
+                    nxt.append(m)
+            binds_list = nxt
+            stat_bound |= set(vars_)
+            continue
+        if kind == "minus":
+            # MINUS (r05): drop solutions compatible with a group
+            # solution on the STATICALLY shared vars; no shared vars →
+            # nothing removed.  A solution with a shared var unbound is
+            # kept (engine anchor approximation).
+            anchors = _pattern_vars(payload) & stat_bound
+            if not anchors:
+                continue
+
+            def dropped(b):
+                if any(a not in b for a in anchors):
+                    return False
+                return bool(extend([b], payload))
+
+            binds_list = [b for b in binds_list if not dropped(b)]
+            continue
         # OPTIONAL group: a match extends the binding, a miss leaves it
         # unchanged (vars unbound) — never a partially-bound prefix; an
         # anchor left unbound by an earlier union arm fails the group

@@ -42,6 +42,13 @@ metamodel + typical data-quality constraints fit in it):
 
 Violations are the solution rows: focus = ?this, value = ?value when
 selected (SPEC §5.3.2).
+
+Standalone query surface (r05, constraint=False): ``SELECT [DISTINCT]``
+over any bound variables with bag semantics, ``GROUP BY`` without
+?this, ``ORDER BY ASC/DESC`` + ``LIMIT`` (top-k), ``CONSTRUCT
+{ template }`` (per-solution instantiation, SPARQL skip rules, graph
+set semantics) and ``ASK`` (lazy one-row boolean).  Entry points:
+``sparql_select`` / ``sparql_query``; CLI: jobs/query_graph.py.
 """
 
 from __future__ import annotations
@@ -151,6 +158,11 @@ class Query:
     # TakeOrderedAndProject (top-k, no global sort materialization).
     order_by: list[tuple[str, bool]] = field(default_factory=list)  # (var, desc)
     limit: int | None = None
+    # query form (r05): 'select' | 'construct' | 'ask'.  CONSTRUCT
+    # carries its template patterns; ASK has neither projection nor
+    # template.  Constraint mode only ever parses SELECT.
+    form: str = "select"
+    template: list[Pattern] = field(default_factory=list)
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -215,36 +227,65 @@ class SparqlParser:
                 raise ValueError(f"sparql: bad prefix {pv!r}")
             iri = self._expect("iri")
             self.prefixes[pv[:-1]] = iri[1:-1]
-        self._expect(val="SELECT")
-        if (
-            self._peek()[0] == "ident"
-            and (self._peek()[1] or "").upper() == "DISTINCT"
-        ):
+        fk, fv = self._peek()
+        form = (fv or "").upper()
+        if not self.constraint and form in ("CONSTRUCT", "ASK"):
             self._next()
-            q.distinct = True
-        while True:
-            k, v = self._peek()
-            if k == "var":
-                q.select.append(self._next()[1][1:].lower())
-                continue
-            if k == "punct" and v == "(":
-                # (COUNT(?x) AS ?alias) / (SUM(?x) AS ?n) projection
+            q.form = form.lower()
+            if q.form == "construct":
+                # CONSTRUCT { template } WHERE { ... } — template terms
+                # are vars / IRIs / literals; literal subjects are
+                # invalid RDF and rejected here (SPARQL grammar does
+                # the same syntactically)
+                self._expect("punct", "{")
+                while self._peek() != ("punct", "}"):
+                    if self._peek()[0] is None:
+                        raise ValueError("sparql: unterminated CONSTRUCT template")
+                    pat = self._pattern()
+                    if isinstance(pat.s, Lit):
+                        raise ValueError(
+                            "sparql: literal subject in CONSTRUCT template"
+                        )
+                    q.template.append(pat)
+                self._expect("punct", "}")
+                if not q.template:
+                    raise ValueError("sparql: empty CONSTRUCT template")
+            # WHERE keyword is optional for CONSTRUCT/ASK (grammar); the
+            # group block itself is not
+            if (self._peek()[1] or "").upper() == "WHERE":
                 self._next()
-                agg = self._agg()
-                self._expect("ident", "AS")
-                ak, av = self._next()
-                if ak != "var":
-                    raise ValueError("sparql: AS needs a variable alias")
-                alias = av[1:].lower()
-                self._expect("punct", ")")
-                q.aggregates.append((agg, alias))
-                q.select.append(alias)
-                continue
-            break
-        if not q.select:
-            raise ValueError("sparql: SELECT needs at least ?this")
-        self._expect(val="WHERE")
-        self._expect("punct", "{")
+            self._expect("punct", "{")
+        else:
+            self._expect(val="SELECT")
+            if (
+                self._peek()[0] == "ident"
+                and (self._peek()[1] or "").upper() == "DISTINCT"
+            ):
+                self._next()
+                q.distinct = True
+            while True:
+                k, v = self._peek()
+                if k == "var":
+                    q.select.append(self._next()[1][1:].lower())
+                    continue
+                if k == "punct" and v == "(":
+                    # (COUNT(?x) AS ?alias) / (SUM(?x) AS ?n) projection
+                    self._next()
+                    agg = self._agg()
+                    self._expect("ident", "AS")
+                    ak, av = self._next()
+                    if ak != "var":
+                        raise ValueError("sparql: AS needs a variable alias")
+                    alias = av[1:].lower()
+                    self._expect("punct", ")")
+                    q.aggregates.append((agg, alias))
+                    q.select.append(alias)
+                    continue
+                break
+            if not q.select:
+                raise ValueError("sparql: SELECT needs at least ?this")
+            self._expect(val="WHERE")
+            self._expect("punct", "{")
         while True:
             k, v = self._peek()
             if k == "punct" and v == "}":
@@ -311,6 +352,65 @@ class SparqlParser:
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if k == "ident" and v.upper() == "MINUS":
+                # MINUS { pattern* } (r05, standalone surface only):
+                # remove solutions compatible with a group solution on
+                # the shared variables; disjoint domains remove nothing
+                # (the spec's MINUS-vs-NOT-EXISTS distinction)
+                if self.constraint:
+                    raise ValueError(
+                        "sparql: MINUS is unsupported in the sh:sparql subset"
+                    )
+                self._next()
+                group = self._group_block()
+                q.statements.append(("minus", group))
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
+            if k == "ident" and v.upper() == "VALUES":
+                # VALUES ?v { t... } / VALUES (?a ?b) { (t t)... } (r05,
+                # standalone surface only): inline solution data joined
+                # in (broadcast — a parameter block is always tiny);
+                # UNDEF leaves the var unbound for that row
+                if self.constraint:
+                    raise ValueError(
+                        "sparql: VALUES is unsupported in the sh:sparql subset"
+                    )
+                self._next()
+                vk, vv = self._peek()
+                vars_: list[str] = []
+                if vk == "var":
+                    vars_.append(self._next()[1][1:].lower())
+                    rowparens = False
+                elif vk == "punct" and vv == "(":
+                    self._next()
+                    while self._peek()[0] == "var":
+                        vars_.append(self._next()[1][1:].lower())
+                    self._expect("punct", ")")
+                    rowparens = True
+                else:
+                    raise ValueError("sparql: VALUES needs ?var or (?vars)")
+                if not vars_ or len(set(vars_)) != len(vars_):
+                    raise ValueError("sparql: VALUES needs distinct variables")
+                self._expect("punct", "{")
+                rows: list[list] = []
+                while self._peek() != ("punct", "}"):
+                    if self._peek()[0] is None:
+                        raise ValueError("sparql: unterminated VALUES block")
+                    if rowparens:
+                        self._expect("punct", "(")
+                        row = [self._values_term() for _ in vars_]
+                        self._expect("punct", ")")
+                    else:
+                        row = [self._values_term()]
+                    rows.append(row)
+                self._expect("punct", "}")
+                if not rows:
+                    raise ValueError("sparql: empty VALUES block")
+                q.statements.append(("values", (vars_, rows)))
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
             pat = self._pattern()
             q.patterns.append(pat)
             q.statements.append(("pattern", pat))
@@ -357,6 +457,13 @@ class SparqlParser:
             if nk != "num" or "." in nv or int(nv) < 0:
                 raise ValueError(f"sparql: bad LIMIT {nv!r}")
             q.limit = int(nv)
+        if q.form != "select" and (
+            q.group_by or q.having is not None or q.order_by or q.limit is not None
+        ):
+            raise ValueError(
+                "sparql: solution modifiers are unsupported for "
+                "CONSTRUCT/ASK in this subset"
+            )
         if (q.aggregates or q.having is not None) and not q.group_by:
             raise ValueError("sparql: aggregates require GROUP BY in this subset")
         if q.group_by:
@@ -372,7 +479,7 @@ class SparqlParser:
 
     def _agg(self) -> Agg:
         k, v = self._next()
-        if k != "ident" or v.lower() not in ("count", "sum"):
+        if k != "ident" or v.lower() not in ("count", "sum", "min", "max", "avg"):
             raise ValueError(f"sparql: unsupported aggregate {v!r}")
         fn = v.lower()
         self._expect("punct", "(")
@@ -425,6 +532,17 @@ class SparqlParser:
         if pfx not in self.prefixes:
             raise ValueError(f"sparql: undeclared prefix {pfx!r}")
         return self.prefixes[pfx] + local
+
+    def _values_term(self):
+        """A VALUES-row entry: a constant term or UNDEF (-> None)."""
+        k, v = self._peek()
+        if k == "ident" and (v or "").upper() == "UNDEF":
+            self._next()
+            return None
+        t = self._term()
+        if isinstance(t, Var):
+            raise ValueError("sparql: variables are not VALUES data")
+        return t
 
     def _term(self):
         k, v = self._next()
@@ -615,6 +733,101 @@ def sparql_select(triples: DataFrame, text: str) -> DataFrame:
     return translate_select(parse_sparql(text, constraint=False), triples)
 
 
+def translate_construct(query: Query, triples: DataFrame) -> DataFrame:
+    """``CONSTRUCT { template } WHERE {...}`` (r05) — evaluate the
+    WHERE clause once, instantiate every template pattern per solution,
+    and return the constructed GRAPH as a canonical six-column triple
+    frame (set semantics: a graph has no duplicate triples).
+
+    Per SPARQL: an instantiation is skipped when any variable it uses
+    is unbound in the solution, or when a subject variable is bound to
+    a literal (invalid RDF).  A template variable that no WHERE pattern
+    can ever bind is a query bug and fails at translation instead of
+    silently constructing nothing."""
+    spark = triples.sparkSession
+    cur = spark.range(1).select(F.lit(1).alias("__unit"))
+    bound: set[str] = set()
+    counter = [0]
+    cur = _solution_frame(cur, bound, query, triples, counter)
+
+    def _subj(t):
+        if isinstance(t, Var):
+            return F.col(_vcol(t.name, "val")), F.col(_vcol(t.name, "kind"))
+        return F.lit(t.value), F.lit("iri")
+
+    parts = []
+    for pat in query.template:
+        used = [t.name for t in (pat.s, pat.o) if isinstance(t, Var)]
+        missing = set(used) - bound
+        if missing:
+            raise ValueError(
+                f"sparql: CONSTRUCT template references unbound vars {missing}"
+            )
+        s_val, s_kind = _subj(pat.s)
+        if isinstance(pat.o, Var):
+            o_val = F.col(_vcol(pat.o.name, "val"))
+            o_kind = F.col(_vcol(pat.o.name, "kind"))
+            o_dt = F.col(_vcol(pat.o.name, "dt"))
+            o_lang = F.col(_vcol(pat.o.name, "lang"))
+        elif isinstance(pat.o, Iri):
+            o_val, o_kind = F.lit(pat.o.value), F.lit("iri")
+            o_dt = F.lit(None).cast("string")
+            o_lang = F.lit(None).cast("string")
+        else:  # Lit
+            o_val, o_kind = F.lit(pat.o.value), F.lit("literal")
+            o_dt = F.lit(pat.o.dt).cast("string")
+            o_lang = F.lit(pat.o.lang).cast("string")
+        keep = s_kind != F.lit("literal")
+        for v in used:
+            keep = keep & F.col(_vcol(v, "val")).isNotNull()
+        parts.append(
+            cur.where(keep).select(
+                s_val.alias("subj"),
+                F.lit(pat.p).alias("pred"),
+                o_val.alias("obj"),
+                o_kind.alias("obj_kind"),
+                o_dt.alias("obj_dt"),
+                o_lang.alias("obj_lang"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.dropDuplicates(
+        ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    )
+
+
+def translate_ask(query: Query, triples: DataFrame) -> DataFrame:
+    """``ASK {...}`` (r05) — one boolean row: does the WHERE clause
+    have at least one solution?  ``limit(1)`` short-circuits the scan
+    (AQE stops the job at the first produced row); the count-over-limit
+    keeps the result a lazy one-row DataFrame rather than a driver-side
+    collect at translation time."""
+    spark = triples.sparkSession
+    cur = spark.range(1).select(F.lit(1).alias("__unit"))
+    bound: set[str] = set()
+    counter = [0]
+    cur = _solution_frame(cur, bound, query, triples, counter)
+    return (
+        cur.limit(1)
+        .select(F.lit(1).alias("__hit"))
+        .groupBy()
+        .agg((F.count("__hit") > 0).alias("ask"))
+    )
+
+
+def sparql_query(triples: DataFrame, text: str) -> DataFrame:
+    """Public SPARQL surface dispatching on query form: SELECT rows,
+    CONSTRUCT a six-column triple frame, ASK a one-row boolean."""
+    q = parse_sparql(text, constraint=False)
+    if q.form == "construct":
+        return translate_construct(q, triples)
+    if q.form == "ask":
+        return translate_ask(q, triples)
+    return translate_select(q, triples)
+
+
 def _solution_frame(
     cur: DataFrame, bound: set, query: Query, triples: DataFrame, counter: list
 ) -> DataFrame:
@@ -628,6 +841,89 @@ def _solution_frame(
     for kind, payload in query.statements:
         if kind == "pattern":
             cur = _join_patterns(cur, bound, [payload], triples, counter)
+            continue
+        if kind == "values":
+            # inline data: broadcast-join the (tiny) VALUES block.  Two
+            # solutions are compatible when every shared var is unbound
+            # on either side or term-equal; the merged solution takes
+            # the bound side (SPARQL join compatibility).
+            vars_, rows = payload
+            data = []
+            for row in rows:
+                rec: list = []
+                for t in row:
+                    if t is None:
+                        rec += [None, None, None, None]
+                    elif isinstance(t, Iri):
+                        rec += [t.value, "iri", None, None]
+                    else:
+                        rec += [t.value, "literal", t.dt, t.lang]
+                data.append(tuple(rec))
+            schema = ", ".join(
+                f"__val_{v}_{p} string" for v in vars_ for p in _VCOLS
+            )
+            vdf = F.broadcast(cur.sparkSession.createDataFrame(data, schema))
+            shared = [v for v in vars_ if v in bound]
+            cond = F.lit(True)
+            for v in shared:
+                cv, vv = F.col(_vcol(v, "val")), F.col(f"__val_{v}_val")
+                eq = (
+                    (cv == vv)
+                    & (F.col(_vcol(v, "kind")) == F.col(f"__val_{v}_kind"))
+                    & F.col(_vcol(v, "dt")).eqNullSafe(F.col(f"__val_{v}_dt"))
+                    & F.col(_vcol(v, "lang")).eqNullSafe(F.col(f"__val_{v}_lang"))
+                )
+                cond = cond & (cv.isNull() | vv.isNull() | eq)
+            cur = cur.join(vdf, cond)
+            merged = {}
+            for v in shared:
+                was_unbound = F.col(_vcol(v, "val")).isNull()
+                for p in _VCOLS:
+                    merged[_vcol(v, p)] = F.when(
+                        was_unbound, F.col(f"__val_{v}_{p}")
+                    ).otherwise(F.col(_vcol(v, p)))
+            if merged:
+                cur = cur.withColumns(merged)
+            for v in vars_:
+                if v in shared:
+                    cur = cur.drop(*[f"__val_{v}_{p}" for p in _VCOLS])
+                else:
+                    for p in _VCOLS:
+                        cur = cur.withColumnRenamed(
+                            f"__val_{v}_{p}", _vcol(v, p)
+                        )
+            bound |= set(vars_)
+            continue
+        if kind == "minus":
+            # MINUS { pattern* }: anti-join on the shared variables; a
+            # group sharing no variable removes nothing (per spec —
+            # the MINUS-vs-NOT-EXISTS distinction).  A solution whose
+            # shared var is unbound never matches a key and is kept
+            # (same anchor approximation as FILTER EXISTS, documented).
+            group = payload
+            anchors = sorted(_pattern_vars(group) & bound)
+            if not anchors:
+                continue
+            seed = cur.select(
+                *[F.col(_vcol(a, p)) for a in anchors for p in _VCOLS]
+            ).distinct()
+            g = _join_patterns(seed, set(anchors), group, triples, counter)
+            keys = g.select(
+                *[F.col(_vcol(a, p)) for a in anchors for p in _VCOLS]
+            ).distinct()
+            for a in anchors:
+                for p in _VCOLS:
+                    keys = keys.withColumnRenamed(_vcol(a, p), f"__anc_{a}_{p}")
+            cond = F.lit(True)
+            for a in anchors:
+                cond = (
+                    cond
+                    & (F.col(_vcol(a, "val")) == F.col(f"__anc_{a}_val"))
+                    & (F.col(_vcol(a, "kind")) == F.col(f"__anc_{a}_kind"))
+                    & F.col(_vcol(a, "dt")).eqNullSafe(F.col(f"__anc_{a}_dt"))
+                    & F.col(_vcol(a, "lang")).eqNullSafe(F.col(f"__anc_{a}_lang"))
+                )
+            cur = cur.join(keys, cond, "left_anti")
             continue
         if kind == "union":
             # each arm extends the current solutions independently; the
@@ -770,6 +1066,11 @@ def _agg_specs(query: Query) -> list[Agg]:
 
 def _having_operand(e, aggmap: dict) -> Column:
     if isinstance(e, Agg):
+        if e.fn in ("min", "max"):
+            raise ValueError(
+                "sparql: HAVING over MIN/MAX is unsupported in this subset "
+                "(term-valued; compare COUNT/SUM/AVG instead)"
+            )
         return F.col(aggmap[e])
     if isinstance(e, Lit):
         try:
@@ -829,17 +1130,57 @@ def _apply_aggregation(
         col = F.col(_vcol(spec.var, "val"))
         if spec.fn == "count":
             aggs.append(F.count(col).alias(name))
-        else:
+        elif spec.fn == "sum":
             # try_cast, not cast: ANSI mode (Spark 4 default) would
             # otherwise FAIL the job on one malformed numeric literal —
             # SPARQL skips error values inside aggregates instead
             aggs.append(F.sum(col.try_cast("long")).alias(name))
+        elif spec.fn == "avg":
+            aggs.append(F.avg(col.try_cast("double")).alias(name))
+        else:
+            # min / max (r05): full-term result under the same two-tier
+            # ordering ORDER BY uses — numeric-castable values order
+            # numerically and before non-numerics, then lexical form;
+            # kind/dt/lang complete the key so ties are deterministic.
+            # Unbound rows pack to NULL, which min/max skip (SPARQL
+            # aggregates skip error values).
+            num = col.try_cast("double")
+            packed = F.when(
+                col.isNotNull(),
+                F.struct(
+                    num.isNull().cast("int").alias("nn"),
+                    F.coalesce(num, F.lit(0.0)).alias("num"),
+                    col.alias("lex"),
+                    F.col(_vcol(spec.var, "kind")).alias("kind"),
+                    F.coalesce(F.col(_vcol(spec.var, "dt")), F.lit("")).alias("dt"),
+                    F.coalesce(F.col(_vcol(spec.var, "lang")), F.lit("")).alias("lang"),
+                ),
+            )
+            aggs.append(
+                (F.min(packed) if spec.fn == "min" else F.max(packed)).alias(name)
+            )
     out = cur.groupBy(*keys).agg(*aggs)
     if query.having is not None:
         out = out.where(_having_col(query.having, aggmap))
     for agg, alias in query.aggregates:
         name = aggmap[agg]
+        if agg.fn in ("min", "max"):
+            # full-term result: unpack the winning struct
+            out = (
+                out.withColumn(_vcol(alias, "val"), F.col(f"{name}.lex"))
+                .withColumn(_vcol(alias, "kind"), F.col(f"{name}.kind"))
+                .withColumn(
+                    _vcol(alias, "dt"),
+                    F.when(F.col(f"{name}.dt") != "", F.col(f"{name}.dt")),
+                )
+                .withColumn(
+                    _vcol(alias, "lang"),
+                    F.when(F.col(f"{name}.lang") != "", F.col(f"{name}.lang")),
+                )
+            )
+            continue
         sval = F.col(name).cast("string")
+        dt = XSD + ("decimal" if agg.fn == "avg" else "integer")
         out = (
             out.withColumn(_vcol(alias, "val"), sval)
             .withColumn(
@@ -848,7 +1189,7 @@ def _apply_aggregation(
             )
             .withColumn(
                 _vcol(alias, "dt"),
-                F.when(sval.isNotNull(), F.lit(XSD + "integer")),
+                F.when(sval.isNotNull(), F.lit(dt)),
             )
             .withColumn(_vcol(alias, "lang"), F.lit(None).cast("string"))
         )

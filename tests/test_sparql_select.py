@@ -192,6 +192,219 @@ def test_constraint_mode_still_requires_this_in_group_by():
         )
 
 
+# --- VALUES / MINUS (r05) -------------------------------------------------------
+
+
+def test_values_single_var(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?n WHERE { VALUES ?s { ex:a ex:c } ?s ex:name ?n }",
+    )
+    assert {(r[0], r[4]) for r in rows} == {("ex:a", "Alice"), ("ex:c", "C3PO")}
+
+
+def test_values_multi_var_undef(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?n WHERE { ?s ex:name ?n . "
+        'VALUES (?s ?n) { (ex:b UNDEF) (UNDEF "Alice") } }',
+    )
+    assert sorted((r[0], r[4]) for r in rows) == [
+        ("ex:a", "Alice"),
+        ("ex:b", "Bob"),
+        ("ex:b", "Bobby"),
+    ]
+
+
+def test_values_fills_unbound_optional_var(spark):
+    # join compatibility: ex:b's ?org is unbound after the OPTIONAL, so
+    # the VALUES binding fills it; ex:a's bound ex:acme matches and is kept
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?org WHERE { ?s rdf:type ex:Person . "
+        "OPTIONAL { ?s ex:worksFor ?org } VALUES ?org { ex:acme } }",
+    )
+    assert {(r[0], r[4]) for r in rows} == {
+        ("ex:a", "ex:acme"),
+        ("ex:b", "ex:acme"),
+    }
+
+
+def test_values_nonmatching_row_drops_solution(spark):
+    rows = _parity(
+        spark,
+        PFX + 'SELECT ?s ?n WHERE { ?s ex:name ?n . VALUES ?n { "Ghost" } }',
+    )
+    assert rows == []
+
+
+def test_minus_basic(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT DISTINCT ?s WHERE { ?s rdf:type ex:Person . "
+        "MINUS { ?s ex:worksFor ?o } }",
+    )
+    assert [r[0] for r in rows] == ["ex:b"]
+
+
+def test_minus_disjoint_domain_removes_nothing(spark):
+    # the spec's MINUS-vs-NOT-EXISTS distinction: the group matches but
+    # shares no variable, so MINUS removes nothing (NOT EXISTS with the
+    # same group would empty the result)
+    minus_rows = _parity(
+        spark,
+        PFX + "SELECT DISTINCT ?s WHERE { ?s rdf:type ex:Person . "
+        "MINUS { ?x ex:worksFor ?y } }",
+    )
+    assert len(minus_rows) == 2
+    ne_rows, _ = _engine_rows(
+        spark,
+        PFX + "SELECT DISTINCT ?s WHERE { ?s rdf:type ex:Person . "
+        "FILTER NOT EXISTS { ?x ex:worksFor ?y } }",
+    )
+    assert ne_rows == []
+
+
+def test_values_minus_rejected_in_constraint_mode():
+    with pytest.raises(ValueError, match="VALUES is unsupported"):
+        parse_sparql(
+            PFX + "SELECT ?this WHERE { VALUES ?this { ex:a } }"
+        )
+    with pytest.raises(ValueError, match="MINUS is unsupported"):
+        parse_sparql(
+            PFX + "SELECT ?this WHERE { ?this ex:name ?n MINUS { ?this ex:p ?o } }"
+        )
+
+
+# --- CONSTRUCT / ASK (r05) ----------------------------------------------------
+
+
+def _naive_construct(query: str) -> set[tuple]:
+    """Reference instantiation: interp solutions x template patterns,
+    SPARQL skip rules (unbound var / literal subject) applied."""
+    from shacl_spark.shacl.sparql import Iri, Var
+
+    q = parse_sparql(query, constraint=False)
+    sols = _sparql_solutions(Store(DATA), q, None)
+    out = set()
+    for s in sols:
+        for pat in q.template:
+            def term(t):
+                if isinstance(t, Var):
+                    return s.get(t.name)
+                if isinstance(t, Iri):
+                    return Term(t.value, "iri")
+                return Term(t.value, "literal", t.dt, t.lang)
+
+            st, ot = term(pat.s), term(pat.o)
+            if st is None or ot is None or st.kind == "literal":
+                continue
+            out.add((st.value, pat.p, ot.value, ot.kind, ot.dt, ot.lang))
+    return out
+
+
+def _engine_construct(spark, query: str) -> set[tuple]:
+    from shacl_spark.shacl.sparql import sparql_query
+
+    df = sparql_query(triples_from_rows(spark, DATA), query)
+    assert df.columns == ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    return {tuple(r) for r in df.collect()}
+
+
+def test_construct_basic_parity(spark):
+    q = (
+        PFX + "CONSTRUCT { ?s ex:label ?n . ?s a ex:Named } "
+        "WHERE { ?s ex:name ?n }"
+    )
+    got = _engine_construct(spark, q)
+    assert got == _naive_construct(q)
+    # 4 distinct (s, n) label triples + 3 distinct type triples
+    assert len([t for t in got if t[1] == "ex:label"]) == 4
+    # template `a` expands to the full rdf:type IRI per SPARQL, not
+    # this fixture's shorthand "rdf:type" prefix string
+    from shacl_spark.functions.terms import RDF_TYPE
+
+    assert len([t for t in got if t[1] == RDF_TYPE]) == 3
+    assert len(got) == 7
+
+
+def test_construct_const_object_literal(spark):
+    q = PFX + 'CONSTRUCT { ?s ex:tag "hot" } WHERE { ?s ex:worksFor ?o }'
+    got = _engine_construct(spark, q)
+    assert got == _naive_construct(q)
+    assert got == {("ex:a", "ex:tag", "hot", "literal", XSD + "string", None)}
+
+
+def test_construct_skips_unbound_optional(spark):
+    q = (
+        PFX + "CONSTRUCT { ?s ex:employer ?org } WHERE { "
+        "?s rdf:type ex:Person . OPTIONAL { ?s ex:worksFor ?org } }"
+    )
+    got = _engine_construct(spark, q)
+    assert got == _naive_construct(q)
+    # ex:b's solution has ?org unbound -> its instantiation is skipped
+    assert got == {("ex:a", "ex:employer", "ex:acme", "iri", None, None)}
+
+
+def test_construct_literal_subject_binding_skipped(spark):
+    # ?n binds to literals; a literal subject is invalid RDF -> empty graph
+    q = PFX + "CONSTRUCT { ?n ex:nameOf ?s } WHERE { ?s ex:name ?n }"
+    got = _engine_construct(spark, q)
+    assert got == _naive_construct(q) == set()
+
+
+def test_construct_literal_subject_template_rejected():
+    with pytest.raises(ValueError, match="literal subject"):
+        parse_sparql(
+            PFX + 'CONSTRUCT { "x" ex:p ?s } WHERE { ?s ex:name ?n }',
+            constraint=False,
+        )
+
+
+def test_construct_statically_unbound_var_raises(spark):
+    from shacl_spark.shacl.sparql import sparql_query
+
+    with pytest.raises(ValueError, match="unbound"):
+        sparql_query(
+            triples_from_rows(spark, DATA),
+            PFX + "CONSTRUCT { ?s ex:p ?ghost } WHERE { ?s ex:name ?n }",
+        )
+
+
+def test_construct_modifiers_rejected():
+    with pytest.raises(ValueError, match="solution modifiers"):
+        parse_sparql(
+            PFX + "CONSTRUCT { ?s ex:p ?n } WHERE { ?s ex:name ?n } LIMIT 1",
+            constraint=False,
+        )
+
+
+def test_ask_true_false(spark):
+    from shacl_spark.shacl.sparql import sparql_query
+
+    t = triples_from_rows(spark, DATA)
+    df = sparql_query(t, PFX + "ASK { ?s rdf:type ex:Robot }")
+    assert df.columns == ["ask"]
+    assert [r["ask"] for r in df.collect()] == [True]
+    df = sparql_query(t, PFX + "ASK WHERE { ?s rdf:type ex:Unicorn }")
+    assert [r["ask"] for r in df.collect()] == [False]
+
+
+def test_ask_with_filter(spark):
+    from shacl_spark.shacl.sparql import sparql_query
+
+    t = triples_from_rows(spark, DATA)
+    df = sparql_query(
+        t, PFX + 'ASK { ?s ex:name ?n FILTER (?n = "Bobby") }'
+    )
+    assert [r["ask"] for r in df.collect()] == [True]
+
+
+def test_constraint_mode_rejects_construct():
+    with pytest.raises(ValueError):
+        parse_sparql(PFX + "CONSTRUCT { ?s ex:p ?n } WHERE { ?s ex:name ?n }")
+
+
 def test_query_graph_cli(spark, tmp_path, capsys):
     import sys
 
