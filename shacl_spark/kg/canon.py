@@ -97,18 +97,31 @@ def rewrite_triples(
     triples: DataFrame, comp_map: DataFrame, broadcast_map: bool = True
 ) -> DataFrame:
     """A11: rewrite subj and obj through the canonical map (two
-    broadcast joins + coalesce), then re-dedup (A12).
+    broadcast joins + coalesce), then re-dedup (A12) keeping the
+    lexicographically smallest provenance per triple — dropDuplicates
+    would keep whichever copy the physical plan happened to encounter
+    first, making the output differ between the broadcast and shuffle
+    rewrite plans (and across resumes), which breaks the byte-identity
+    resumability story.
 
     ``broadcast_map=False`` switches to shuffle joins for deployments
     where the map outgrows executor memory (it is O(matched entities);
     with r03's exact-name tier that is every duplicated symbol, so at
-    extreme corpus scale prefer False and let AQE pick)."""
+    extreme corpus scale prefer False and let AQE pick).
+
+    The subj and obj joins consume the SAME broadcast: both sides hint
+    the identical (id, canonical) plan and rename only above the join,
+    so ReuseExchange collapses them into one BroadcastExchange — the
+    map is O(matched entities) and collecting it twice was the largest
+    serial (driver-side, input-proportional) slice of the rewrite
+    (measured r05: two 650k-row broadcasts at the 100k-file corpus)."""
     wrap = F.broadcast if broadcast_map else (lambda df: df)
-    subj_map = wrap(
-        comp_map.select(F.col("id").alias("subj"), F.col("canonical").alias("subj_canon"))
+    base_map = wrap(comp_map.select("id", "canonical"))
+    subj_map = base_map.select(
+        F.col("id").alias("subj"), F.col("canonical").alias("subj_canon")
     )
-    obj_map = wrap(
-        comp_map.select(F.col("id").alias("obj"), F.col("canonical").alias("obj_canon"))
+    obj_map = base_map.select(
+        F.col("id").alias("obj"), F.col("canonical").alias("obj_canon")
     )
     rewritten = (
         triples.join(subj_map, "subj", "left")
@@ -131,9 +144,23 @@ def rewrite_triples(
     )
     # obj_kind participates in triple identity: an IRI object and a
     # literal object with the same lexical form are distinct triples
-    # (matches engine.py's input normalization; ADVICE r01)
-    return rewritten.dropDuplicates(
-        ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    # (matches engine.py's input normalization; ADVICE r01).  Same
+    # single shuffle as dropDuplicates — a hash aggregate on the
+    # identity key — but min(struct) instead of arbitrary-first for the
+    # surviving provenance.
+    prov = F.min(
+        F.struct("src_repo", "src_path", "src_commit", "part_id")
+    ).alias("_prov")
+    return (
+        rewritten.groupBy("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang")
+        .agg(prov)
+        .select(
+            "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang",
+            F.col("_prov.src_repo").alias("src_repo"),
+            F.col("_prov.src_path").alias("src_path"),
+            F.col("_prov.src_commit").alias("src_commit"),
+            F.col("_prov.part_id").alias("part_id"),
+        )
     )
 
 
@@ -142,6 +169,7 @@ def canonicalize(
     threshold: float = 0.75,
     cc_stats: dict | None = None,
     checkpoint_input: bool = True,
+    broadcast_map: bool = True,
 ) -> DataFrame:
     """Full A7–A12: link, resolve, rewrite, dedup.
 
@@ -150,8 +178,15 @@ def canonicalize(
     when the input is a computed lineage like a fresh extraction, whose
     re-run would dominate.  Pass False at deployment scale when the
     input is already columnar storage: rescanning parquet beats
-    materializing 100 TB to executor memory."""
+    materializing 100 TB to executor memory.
+
+    ``broadcast_map`` picks the rewrite join strategy (see
+    rewrite_triples): True is fastest while the component map fits the
+    driver (bench scale); False is the cluster-scale plan — the map is
+    O(matched entities), which grows with the corpus, and the shuffle
+    join keeps the rewrite fully partition-parallel with no
+    driver-side collect on the hot path."""
     if checkpoint_input:
         triples = triples.localCheckpoint(eager=True)
     comp_map = build_component_map(triples, threshold=threshold, cc_stats=cc_stats)
-    return rewrite_triples(triples, comp_map)
+    return rewrite_triples(triples, comp_map, broadcast_map=broadcast_map)

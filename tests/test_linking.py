@@ -156,3 +156,39 @@ def test_minhash_lsh_pairs_drop_observable(spark):
     assert ("da", "db") in got
     assert stats["lsh_dropped_rows"] >= 30
     assert stats["lsh_max_bucket_seen"] == 30
+
+
+def test_rewrite_deterministic_across_join_strategies(spark):
+    """broadcast_map=True and False must produce byte-identical output,
+    including the surviving provenance row: the A12 dedup keeps the
+    lexicographically smallest (src_repo, src_path, src_commit,
+    part_id) per triple, not whichever copy the physical plan saw
+    first (r05: dropDuplicates made the output plan-dependent)."""
+    base = triples_from_rows(
+        spark,
+        [
+            ("kg:f1#HttpClient", "kg:name", "HttpClient", "literal"),
+            ("kg:f2#HTTPClient", "kg:name", "HTTPClient", "literal"),
+            ("kg:f1", "kg:defines", "kg:f1#HttpClient"),
+            ("kg:f2", "kg:defines", "kg:f2#HTTPClient"),
+        ],
+    )
+    # the same identity rows under two provenances; 'aaa' must win
+    dup = (
+        base.withColumn("src_repo", F.lit("zzz"))
+        .unionByName(base.withColumn("src_repo", F.lit("aaa")))
+        .withColumn("src_path", F.lit("p"))
+        .withColumn("src_commit", F.lit("c"))
+        .withColumn("part_id", F.lit(0))
+    )
+    key = sorted(dup.columns)
+    a = sorted(
+        canonicalize(dup, broadcast_map=True).collect(),
+        key=lambda r: tuple(str(r[c]) for c in key),
+    )
+    b = sorted(
+        canonicalize(dup, broadcast_map=False).collect(),
+        key=lambda r: tuple(str(r[c]) for c in key),
+    )
+    assert a == b
+    assert {r["src_repo"] for r in a} == {"aaa"}
