@@ -1991,6 +1991,8 @@ _POST_WINDOW_SHACL = {
     "sparql_ask_engine",
     # r05: RDFS entailment closure (shacl/entailment.py)
     "rdfs_entailment_closure",
+    # r05: SHACL-AF sh:rule inference to fixpoint (shacl/rules.py)
+    "shacl_rules_closure",
 }
 
 

@@ -53,6 +53,9 @@ def main(argv=None) -> int:
     # JSON-LD-lines data (r05): optional term/prefix context as an
     # inline JSON object, e.g. '{"ex": "http://ex.org/"}'
     p.add_argument("--jsonld-context", dest="jsonld_context")
+    # SHACL-AF rules (r05): execute sh:rule inference from the SAME
+    # shapes graph to fixpoint and validate the EXPANDED data graph
+    p.add_argument("--infer", action="store_true")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -64,6 +67,13 @@ def main(argv=None) -> int:
 
     ctx = json.loads(args.jsonld_context) if args.jsonld_context else None
     triples = read_graph(spark, args.data, jsonld_context=ctx)
+    infer_stats: dict = {}
+    if args.infer:
+        from shacl_spark.shacl.rules import infer
+
+        triples = infer(
+            triples, _read_shapes_rows(spark, args.shapes), stats=infer_stats
+        )
     if args.changed and args.prev_report:
         from shacl_spark.shacl.incremental import incremental_revalidate
 
@@ -98,7 +108,11 @@ def main(argv=None) -> int:
             from shacl_spark.sources.ntriples import write_ntriples
 
             write_ntriples(rt, args.report_nt)
-    print(json.dumps({"conforms": not by_comp, "violations_by_component": by_comp}))
+    out = {"conforms": not by_comp, "violations_by_component": by_comp}
+    if args.infer:
+        out["inferred_triples"] = infer_stats.get("rules_inferred_triples", 0)
+        out["inference_rounds"] = infer_stats.get("rules_rounds", 0)
+    print(json.dumps(out))
     return 0
 
 

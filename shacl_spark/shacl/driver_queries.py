@@ -928,3 +928,61 @@ SELECT EXISTS (
   SELECT 1 FROM t e JOIN t d ON d.subj = e.subj AND d.pred = 'ex:dept'
   WHERE e.pred = '{T}' AND e.obj = 'ex:Employee' AND e.obj_kind = 'iri'
 ) AS ask"""
+
+
+# --- r05: SHACL-AF inference rules (shacl/rules.py) ---------------------------
+
+
+def _shacl_rules_closure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SHACL-AF sh:rule inference to fixpoint over the fixture's
+    ex:reportsTo management tree: a TripleRule seeds ex:chain from the
+    direct edges (object = path expression), a SPARQLRule squares it
+    ($this chain ?m . ?m chain ?b) — the fixpoint is the transitive
+    closure restricted to ex:Person focus nodes.  Returns only the
+    INFERRED triples; the oracle recomputes them with a recursive CTE."""
+    from shacl_spark.functions.terms import SH
+    from shacl_spark.shacl.rules import infer_new
+
+    shapes = [
+        ("ex:RS", T, SH + "NodeShape", "iri", None, None),
+        ("ex:RS", SH + "targetClass", "ex:Person", "iri", None, None),
+        ("ex:RS", SH + "rule", "ex:ruleBase", "iri", None, None),
+        ("ex:RS", SH + "rule", "ex:ruleStep", "iri", None, None),
+        ("ex:ruleBase", T, SH + "TripleRule", "iri", None, None),
+        ("ex:ruleBase", SH + "subject", SH + "this", "iri", None, None),
+        ("ex:ruleBase", SH + "predicate", "ex:chain", "iri", None, None),
+        ("ex:ruleBase", SH + "object", "ex:rtExpr", "iri", None, None),
+        ("ex:rtExpr", SH + "path", "ex:reportsTo", "iri", None, None),
+        ("ex:ruleStep", T, SH + "SPARQLRule", "iri", None, None),
+        (
+            "ex:ruleStep",
+            SH + "construct",
+            "CONSTRUCT { $this <ex:chain> ?b } "
+            "WHERE { $this <ex:chain> ?m . ?m <ex:chain> ?b }",
+            "literal",
+            STR,
+            None,
+        ),
+    ]
+    return infer_new(spark.read.parquet(FIXTURE), shapes).select(
+        "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"
+    )
+
+
+_shacl_rules_closure.__name__ = "shacl_rules_closure"
+SHACL_QUERIES["shacl_rules_closure"] = _shacl_rules_closure
+SHACL_ORACLES["shacl_rules_closure"] = f"""WITH RECURSIVE t AS ({_TSRC}),
+sub AS (SELECT 'ex:Person' AS c
+        UNION
+        SELECT t.subj FROM t, sub WHERE t.pred = '{SCO}' AND t.obj = sub.c),
+person AS (SELECT DISTINCT subj FROM t
+           WHERE pred = '{T}' AND obj IN (SELECT c FROM sub)),
+base AS (SELECT t.subj AS a, t.obj AS b FROM t
+         WHERE t.pred = 'ex:reportsTo' AND t.obj_kind = 'iri'
+           AND t.subj IN (SELECT subj FROM person)),
+clo AS (SELECT a, b FROM base
+        UNION
+        SELECT clo.a, base.b FROM clo JOIN base ON base.a = clo.b)
+SELECT a AS subj, 'ex:chain' AS pred, b AS obj, 'iri' AS obj_kind,
+       CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang
+FROM clo"""

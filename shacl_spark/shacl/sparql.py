@@ -733,7 +733,9 @@ def sparql_select(triples: DataFrame, text: str) -> DataFrame:
     return translate_select(parse_sparql(text, constraint=False), triples)
 
 
-def translate_construct(query: Query, triples: DataFrame) -> DataFrame:
+def translate_construct(
+    query: Query, triples: DataFrame, focus: DataFrame | None = None
+) -> DataFrame:
     """``CONSTRUCT { template } WHERE {...}`` (r05) — evaluate the
     WHERE clause once, instantiate every template pattern per solution,
     and return the constructed GRAPH as a canonical six-column triple
@@ -743,10 +745,26 @@ def translate_construct(query: Query, triples: DataFrame) -> DataFrame:
     is unbound in the solution, or when a subject variable is bound to
     a literal (invalid RDF).  A template variable that no WHERE pattern
     can ever bind is a query bug and fails at translation instead of
-    silently constructing nothing."""
+    silently constructing nothing.
+
+    ``focus`` (r05, SHACL-AF sh:SPARQLRule): a node frame pre-binding
+    ``$this`` — the WHERE clause is seeded from it exactly like the
+    sh:sparql constraint translator, so the template may use ``$this``
+    and every solution carries one focus node."""
+    from shacl_spark.functions.terms import node_val_col
+
     spark = triples.sparkSession
-    cur = spark.range(1).select(F.lit(1).alias("__unit"))
-    bound: set[str] = set()
+    if focus is None:
+        cur = spark.range(1).select(F.lit(1).alias("__unit"))
+        bound: set[str] = set()
+    else:
+        cur = focus.select(
+            node_val_col(F.col("node")).alias(_vcol("this", "val")),
+            F.col("kind").alias(_vcol("this", "kind")),
+            F.col("dt").alias(_vcol("this", "dt")),
+            F.col("lang").alias(_vcol("this", "lang")),
+        )
+        bound = {"this"}
     counter = [0]
     cur = _solution_frame(cur, bound, query, triples, counter)
 
