@@ -383,6 +383,60 @@ def _burn(n: int) -> int:
     return s
 
 
+def _bw_ceiling() -> dict:
+    """The machine's memory-BANDWIDTH scaling from 8 → 32 processes
+    (64 MB buffer copies, no Spark).  Shuffle/exchange stages are
+    memcpy-bound, and on a single box all 32 workers share ONE memory
+    system — unlike a real 4N-executor cluster, where every node
+    brings its own.  This ceiling bounds the shuffle-heavy stage rows
+    (canonicalize rewrite, validate joins) the same way the pure-CPU
+    ceiling bounds codegen-bound extraction (r05: measured 0.30-0.65
+    across VM-weather windows vs CPU 0.86 — the gap explains most of
+    the stage-row droop)."""
+    import multiprocessing as mp
+
+    def timed(workers: int, seconds: float = 4.0) -> float:
+        # pin to the same core sets the taskset'd main runs use — an
+        # UNPINNED 8-worker level floats over all 32 cores and reads
+        # nonsense ratios (measured: >1.2 "efficiency" unpinned).
+        # Sustained copying for a fixed window, not task-count timing:
+        # the task-based variant folds pool startup into the measure
+        # and doubles the variance.
+        with mp.Pool(
+            workers, initializer=_pin_cores, initargs=(workers,)
+        ) as p:
+            counts = p.map(_copy_for, [seconds] * workers)
+        return sum(counts) / seconds  # 128 MB copies/sec, all workers
+
+    timed(4, 1.0)  # warm pool fork paths
+    thr8 = max(timed(8) for _ in range(2))
+    thr32 = max(timed(32) for _ in range(2))
+    return {"thr8": round(thr8, 1), "thr32": round(thr32, 1),
+            "efficiency": round((thr32 / thr8) / 4.0, 3)}
+
+
+def _pin_cores(n: int) -> None:
+    try:
+        os.sched_setaffinity(0, set(range(n)))
+    except (AttributeError, OSError):
+        pass
+
+
+def _copy_for(seconds: float) -> int:
+    import numpy as np
+
+    buf = np.zeros(64 * 1024 * 1024, dtype=np.uint8)
+    n = 0
+    t0 = time.time()
+    while time.time() - t0 < seconds:
+        b = buf.copy()  # 64 MB read + 64 MB write
+        n += 1
+        del b
+    return n
+
+
+
+
 def run_scaling() -> int:
     """local[8] vs local[32] on the same input, CPU-pinned via taskset
     so Python sidecar workers cannot escape the parallelism cap (in
@@ -461,6 +515,7 @@ def run_scaling() -> int:
     }
 
     ceiling = _cpu_ceiling()
+    bw = _bw_ceiling()
     normalized = round(eff / ceiling["efficiency"], 3) if ceiling["efficiency"] else None
     _attempt_rows = "\n".join(
         "| {i} | {s8} | {s32} | {t8} | {t32} | {e} |".format(
@@ -571,6 +626,14 @@ pipeline's efficiency normalized to the machine's own ceiling:
 to coordination; the gap to 0.80 raw is the VM, not the plan.  On a
 real 4N-executor cluster the per-core envelope is constant across N,
 which is the regime the ≥0.8 criterion assumes.
+
+The memory-BANDWIDTH ceiling (64 MB buffer copies, 8 → 32 processes):
+efficiency **{bw["efficiency"]}** — all 32 workers share ONE memory
+system on this box.  Shuffle/exchange-heavy stages (canonicalize
+rewrite, validate joins) are memcpy-bound and are capped by THIS
+ceiling, not the CPU one; on a real 4N cluster every node adds its own
+memory bandwidth, so the stage ratios there track the per-node
+envelope instead.
 """
             + tail
         )
@@ -583,6 +646,7 @@ which is the regime the ≥0.8 criterion assumes.
                 "attempt_efficiencies": [e for e, _ in attempts_out],
                 "stage_efficiency": stage_effs,
                 "cpu_ceiling": ceiling,
+                "bandwidth_ceiling": bw,
                 "normalized_efficiency": normalized,
             }
         )

@@ -114,8 +114,18 @@ def rewrite_triples(
     so ReuseExchange collapses them into one BroadcastExchange — the
     map is O(matched entities) and collecting it twice was the largest
     serial (driver-side, input-proportional) slice of the rewrite
-    (measured r05: two 650k-row broadcasts at the 100k-file corpus)."""
-    wrap = F.broadcast if broadcast_map else (lambda df: df)
+    (measured r05: two 650k-row broadcasts at the 100k-file corpus).
+
+    The shuffle plan hints SHUFFLE_HASH on the map side: Catalyst's
+    default sort-merge join SORTS the fat triple frame twice, and the
+    sort — not the shuffle — dominated (measured r05 at 6M triples /
+    1.3M-row map: SMJ 19.1 s vs hash 4.2 s, 4.5×).  Hash build on the
+    map side is safe at any corpus scale: the per-partition build set
+    is O(matched entities / shuffle partitions) — strictly smaller
+    than what the broadcast plan would pin on every executor."""
+    wrap = (
+        F.broadcast if broadcast_map else (lambda df: df.hint("shuffle_hash"))
+    )
     base_map = wrap(comp_map.select("id", "canonical"))
     subj_map = base_map.select(
         F.col("id").alias("subj"), F.col("canonical").alias("subj_canon")
