@@ -1993,6 +1993,9 @@ _POST_WINDOW_SHACL = {
     "rdfs_entailment_closure",
     # r05: SHACL-AF sh:rule inference to fixpoint (shacl/rules.py)
     "shacl_rules_closure",
+    # r05: DESCRIBE form + GROUP_CONCAT aggregate (sparql.py)
+    "sparql_describe_engine",
+    "sparql_group_concat_engine",
 }
 
 

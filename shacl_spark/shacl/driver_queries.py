@@ -986,3 +986,53 @@ clo AS (SELECT a, b FROM base
 SELECT a AS subj, 'ex:chain' AS pred, b AS obj, 'iri' AS obj_kind,
        CAST(NULL AS VARCHAR) AS obj_dt, CAST(NULL AS VARCHAR) AS obj_lang
 FROM clo"""
+
+
+# --- r05: SPARQL DESCRIBE + GROUP_CONCAT (sparql.py) --------------------------
+
+
+def _sparql_describe_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DESCRIBE over the fixture graph: the engine-defined description
+    is the described resources' full subject slice (CBD equivalent
+    under skolemized bnodes) — WHERE solutions + a constant target,
+    one semi-join, no collect."""
+    from shacl_spark.shacl.sparql import sparql_query
+
+    return sparql_query(
+        spark.read.parquet(FIXTURE),
+        "PREFIX ex: <ex:> DESCRIBE ?p ex:org0 WHERE { ?p a ex:Employee }",
+    )
+
+
+_sparql_describe_engine.__name__ = "sparql_describe_engine"
+SHACL_QUERIES["sparql_describe_engine"] = _sparql_describe_engine
+SHACL_ORACLES["sparql_describe_engine"] = f"""WITH t AS ({_TSRC}),
+d AS (SELECT DISTINCT subj FROM t
+      WHERE pred = '{T}' AND obj = 'ex:Employee' AND obj_kind = 'iri'
+      UNION
+      SELECT 'ex:org0')
+SELECT t.subj, t.pred, t.obj, t.obj_kind, t.obj_dt, t.obj_lang
+FROM t JOIN d ON d.subj = t.subj"""
+
+
+def _sparql_group_concat_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP_CONCAT with explicit separator over the fixture: employee
+    names per department, in the engine-DEFINED sorted lexical order
+    (collect order is plan-dependent; the sort makes the aggregate
+    deterministic and oracle-checkable)."""
+    from shacl_spark.shacl.sparql import sparql_select
+
+    return sparql_select(
+        spark.read.parquet(FIXTURE),
+        'PREFIX ex: <ex:> SELECT ?d (GROUP_CONCAT(?n; SEPARATOR=", ") AS ?names)'
+        " WHERE { ?p ex:dept ?d . ?p ex:name ?n } GROUP BY ?d",
+    ).select("d", "names")
+
+
+_sparql_group_concat_engine.__name__ = "sparql_group_concat_engine"
+SHACL_QUERIES["sparql_group_concat_engine"] = _sparql_group_concat_engine
+SHACL_ORACLES["sparql_group_concat_engine"] = f"""WITH t AS ({_TSRC}),
+dn AS (SELECT d.obj AS d, n.obj AS n
+       FROM t d JOIN t n ON n.subj = d.subj AND n.pred = 'ex:name'
+       WHERE d.pred = 'ex:dept')
+SELECT d, string_agg(n, ', ' ORDER BY n) AS names FROM dn GROUP BY d"""

@@ -905,6 +905,31 @@ def _sparql_group(q, sols: list[dict]) -> list[dict]:
         vals = [r[agg.var] for r in rows if r.get(agg.var) is not None]
         if agg.fn == "count":
             return len(vals)
+        if agg.fn == "group_concat":
+            # engine: array_join(array_sort(collect_list(val)), sep) —
+            # DEFINED sorted lexical order
+            return (agg.sep or " ").join(sorted(t.value for t in vals))
+        if agg.fn in ("min", "max"):
+            # engine: two-tier packed struct — numeric-castable first
+            # (by numeric value), then lexical form, kind, dt, lang
+            def key(t):
+                try:
+                    num, nn = float(t.value), 0
+                except (TypeError, ValueError):
+                    num, nn = 0.0, 1
+                return (nn, num, t.value, t.kind, t.dt or "", t.lang or "")
+
+            if not vals:
+                return None
+            return (min if agg.fn == "min" else max)(vals, key=key)
+        if agg.fn == "avg":
+            nums = []
+            for t in vals:
+                try:
+                    nums.append(float(t.value))
+                except (TypeError, ValueError):
+                    continue  # engine: try_cast -> NULL, avg skips it
+            return (sum(nums) / len(nums)) if nums else None
         total, any_num = 0, False
         for t in vals:
             try:
@@ -933,6 +958,11 @@ def _sparql_group(q, sols: list[dict]) -> list[dict]:
 
     def _hval(e, vals):
         if isinstance(e, Agg):
+            if e.fn in ("min", "max", "group_concat"):
+                raise ValueError(
+                    "oracle sparql: HAVING over MIN/MAX/GROUP_CONCAT is "
+                    "unsupported (engine raises the same)"
+                )
             return vals[e]
         if isinstance(e, Lit):
             return float(e.value) if "." in e.value else int(e.value)
@@ -946,7 +976,17 @@ def _sparql_group(q, sols: list[dict]) -> list[dict]:
         sol = {g: rows[0][g] for g in q.group_by if rows[0].get(g) is not None}
         for agg, alias in q.aggregates:
             v = vals[agg]
-            if v is not None:
+            if v is None:
+                continue
+            if agg.fn in ("min", "max"):
+                sol[alias] = v  # full-term result (engine unpacks the struct)
+            elif agg.fn == "avg":
+                # engine: avg(double) cast to string — Python float str
+                # matches Spark's double rendering for plain values
+                sol[alias] = Term(str(v), "literal", XSD + "decimal")
+            elif agg.fn == "group_concat":
+                sol[alias] = Term(v, "literal", XSD + "string")
+            else:
                 sol[alias] = Term(str(v), "literal", XSD + "integer")
         result.append(sol)
     return result

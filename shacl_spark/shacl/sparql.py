@@ -114,8 +114,10 @@ class Agg:
     numeric lexical forms aggregate as NULL → skipped, SPARQL's error-
     skipping behavior for malformed numerics)."""
 
-    fn: str  # 'count' | 'sum'
+    fn: str  # 'count' | 'sum' | 'min' | 'max' | 'avg' | 'group_concat'
     var: str | None  # None = COUNT(*)
+    # GROUP_CONCAT separator (r05); None for every other aggregate
+    sep: str | None = None
 
 
 @dataclass
@@ -163,6 +165,8 @@ class Query:
     # template.  Constraint mode only ever parses SELECT.
     form: str = "select"
     template: list[Pattern] = field(default_factory=list)
+    # DESCRIBE targets (r05): Var / Iri entries; WHERE clause optional
+    describe: list = field(default_factory=list)
 
 
 # --- tokenizer / parser ---------------------------------------------------------
@@ -229,9 +233,34 @@ class SparqlParser:
             self.prefixes[pv[:-1]] = iri[1:-1]
         fk, fv = self._peek()
         form = (fv or "").upper()
-        if not self.constraint and form in ("CONSTRUCT", "ASK"):
+        has_body = True
+        if not self.constraint and form in ("CONSTRUCT", "ASK", "DESCRIBE"):
             self._next()
             q.form = form.lower()
+            if q.form == "describe":
+                # DESCRIBE ?v... / <iri>... [WHERE { ... }] — the body
+                # is optional for constant targets (SPARQL grammar)
+                while True:
+                    k, v = self._peek()
+                    if k == "var":
+                        q.describe.append(Var(self._next()[1][1:].lower()))
+                    elif k == "iri":
+                        q.describe.append(Iri(self._next()[1][1:-1]))
+                    elif k == "pname":
+                        q.describe.append(Iri(self._expand(self._next()[1])))
+                    else:
+                        break
+                if not q.describe:
+                    raise ValueError(
+                        "sparql: DESCRIBE needs at least one ?var or IRI"
+                    )
+                nk, nv = self._peek()
+                if nk is None:
+                    has_body = False
+                else:
+                    if (nv or "").upper() == "WHERE":
+                        self._next()
+                    self._expect("punct", "{")
             if q.form == "construct":
                 # CONSTRUCT { template } WHERE { ... } — template terms
                 # are vars / IRIs / literals; literal subjects are
@@ -251,10 +280,11 @@ class SparqlParser:
                 if not q.template:
                     raise ValueError("sparql: empty CONSTRUCT template")
             # WHERE keyword is optional for CONSTRUCT/ASK (grammar); the
-            # group block itself is not
-            if (self._peek()[1] or "").upper() == "WHERE":
-                self._next()
-            self._expect("punct", "{")
+            # group block itself is not (DESCRIBE consumed its own above)
+            if q.form != "describe":
+                if (self._peek()[1] or "").upper() == "WHERE":
+                    self._next()
+                self._expect("punct", "{")
         else:
             self._expect(val="SELECT")
             if (
@@ -286,7 +316,7 @@ class SparqlParser:
                 raise ValueError("sparql: SELECT needs at least ?this")
             self._expect(val="WHERE")
             self._expect("punct", "{")
-        while True:
+        while has_body:  # False only for body-less DESCRIBE <iri>...
             k, v = self._peek()
             if k == "punct" and v == "}":
                 self._next()
@@ -462,7 +492,7 @@ class SparqlParser:
         ):
             raise ValueError(
                 "sparql: solution modifiers are unsupported for "
-                "CONSTRUCT/ASK in this subset"
+                "CONSTRUCT/ASK/DESCRIBE in this subset"
             )
         if (q.aggregates or q.having is not None) and not q.group_by:
             raise ValueError("sparql: aggregates require GROUP BY in this subset")
@@ -479,7 +509,9 @@ class SparqlParser:
 
     def _agg(self) -> Agg:
         k, v = self._next()
-        if k != "ident" or v.lower() not in ("count", "sum", "min", "max", "avg"):
+        if k != "ident" or v.lower() not in (
+            "count", "sum", "min", "max", "avg", "group_concat",
+        ):
             raise ValueError(f"sparql: unsupported aggregate {v!r}")
         fn = v.lower()
         self._expect("punct", "(")
@@ -492,8 +524,21 @@ class SparqlParser:
             var = av[1:].lower()
         else:
             raise ValueError(f"sparql: bad aggregate argument {av!r}")
+        sep = " " if fn == "group_concat" else None
+        if fn == "group_concat" and self._peek() == ("punct", ";"):
+            # GROUP_CONCAT(?v; SEPARATOR="...") — the only aggregate
+            # scalar argument in the grammar
+            self._next()
+            sk, sv = self._next()
+            if sk != "ident" or sv.upper() != "SEPARATOR":
+                raise ValueError(f"sparql: expected SEPARATOR, got {sv!r}")
+            self._expect("op", "=")
+            lk, lv = self._next()
+            if lk != "str":
+                raise ValueError("sparql: SEPARATOR needs a string literal")
+            sep = lv[1:-1].replace('\\"', '"').replace("\\\\", "\\")
         self._expect("punct", ")")
-        return Agg(fn, var)
+        return Agg(fn, var, sep)
 
     def _group_block(self) -> list[Pattern]:
         """``{ pattern* }`` — used by UNION arms."""
@@ -603,7 +648,11 @@ class SparqlParser:
             e = self._expr()
             self._expect("punct", ")")
             return e
-        if k == "ident" and v.lower() in ("count", "sum"):
+        if k == "ident" and v.lower() in (
+            "count", "sum", "min", "max", "avg", "group_concat",
+        ):
+            # numeric aggregates compare in HAVING; _having_operand
+            # rejects the term-valued ones with a targeted message
             return self._agg()
         if k == "ident" and v.lower() in _FUNCS:
             self._next()
@@ -835,14 +884,63 @@ def translate_ask(query: Query, triples: DataFrame) -> DataFrame:
     )
 
 
+def translate_describe(query: Query, triples: DataFrame) -> DataFrame:
+    """``DESCRIBE ?v... <iri>... [WHERE {...}]`` (r05) — the described
+    resources' subject slice of the graph, as a canonical six-column
+    triple frame.
+
+    The SPARQL spec leaves the description form implementation-defined;
+    this engine DEFINES it as all triples whose SUBJECT is a described
+    resource — the concise-bounded-description equivalent under the
+    engine-wide bnode-skolemization policy (SURVEY §1.2: no anonymous
+    bnodes to recurse through).  Distributed shape: solve the WHERE
+    clause, project the described variables' IRI/bnode values, union
+    constant targets, distinct (the target set is resource-count-sized)
+    and LEFT SEMI join the triple frame on subj — one broadcastable
+    equi-join, no collect."""
+    spark = triples.sparkSession
+    targets: list[DataFrame] = []
+    consts = [t.value for t in query.describe if isinstance(t, Iri)]
+    if consts:
+        targets.append(
+            spark.createDataFrame([(v,) for v in consts], ["__d"])
+        )
+    dvars = [t.name for t in query.describe if isinstance(t, Var)]
+    if dvars:
+        cur = spark.range(1).select(F.lit(1).alias("__unit"))
+        bound: set[str] = set()
+        counter = [0]
+        cur = _solution_frame(cur, bound, query, triples, counter)
+        missing = set(dvars) - bound
+        if missing:
+            raise ValueError(
+                f"sparql: DESCRIBE references unbound vars {missing}"
+            )
+        for v in dvars:
+            targets.append(
+                cur.where(F.col(_vcol(v, "kind")).isin("iri", "bnode"))
+                .select(F.col(_vcol(v, "val")).alias("__d"))
+            )
+    out = targets[0]
+    for t in targets[1:]:
+        out = out.unionByName(t)
+    described = out.where(F.col("__d").isNotNull()).distinct()
+    return triples.join(
+        described, triples["subj"] == described["__d"], "left_semi"
+    ).select("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang")
+
+
 def sparql_query(triples: DataFrame, text: str) -> DataFrame:
     """Public SPARQL surface dispatching on query form: SELECT rows,
-    CONSTRUCT a six-column triple frame, ASK a one-row boolean."""
+    CONSTRUCT/DESCRIBE a six-column triple frame, ASK a one-row
+    boolean."""
     q = parse_sparql(text, constraint=False)
     if q.form == "construct":
         return translate_construct(q, triples)
     if q.form == "ask":
         return translate_ask(q, triples)
+    if q.form == "describe":
+        return translate_describe(q, triples)
     return translate_select(q, triples)
 
 
@@ -1084,10 +1182,10 @@ def _agg_specs(query: Query) -> list[Agg]:
 
 def _having_operand(e, aggmap: dict) -> Column:
     if isinstance(e, Agg):
-        if e.fn in ("min", "max"):
+        if e.fn in ("min", "max", "group_concat"):
             raise ValueError(
-                "sparql: HAVING over MIN/MAX is unsupported in this subset "
-                "(term-valued; compare COUNT/SUM/AVG instead)"
+                "sparql: HAVING over MIN/MAX/GROUP_CONCAT is unsupported in "
+                "this subset (non-numeric; compare COUNT/SUM/AVG instead)"
             )
         return F.col(aggmap[e])
     if isinstance(e, Lit):
@@ -1155,6 +1253,16 @@ def _apply_aggregation(
             aggs.append(F.sum(col.try_cast("long")).alias(name))
         elif spec.fn == "avg":
             aggs.append(F.avg(col.try_cast("double")).alias(name))
+        elif spec.fn == "group_concat":
+            # SPARQL leaves GROUP_CONCAT order implementation-defined
+            # unless ordered; this engine DEFINES it as sorted lexical
+            # order — deterministic across plans/partitionings (the
+            # collect_list arrival order is not)
+            aggs.append(
+                F.array_join(
+                    F.array_sort(F.collect_list(col)), spec.sep
+                ).alias(name)
+            )
         else:
             # min / max (r05): full-term result under the same two-tier
             # ordering ORDER BY uses — numeric-castable values order
@@ -1198,7 +1306,11 @@ def _apply_aggregation(
             )
             continue
         sval = F.col(name).cast("string")
-        dt = XSD + ("decimal" if agg.fn == "avg" else "integer")
+        dt = XSD + (
+            "decimal" if agg.fn == "avg"
+            else "string" if agg.fn == "group_concat"
+            else "integer"
+        )
         out = (
             out.withColumn(_vcol(alias, "val"), sval)
             .withColumn(

@@ -433,3 +433,113 @@ def test_query_graph_cli(spark, tmp_path, capsys):
     ]
     summary = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert summary["rows"] == 2
+
+
+# --- MIN / MAX / AVG / GROUP_CONCAT (r05) ---------------------------------------
+
+
+def test_min_max_full_term_parity(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s (MIN(?n) AS ?lo) (MAX(?n) AS ?hi) "
+        "WHERE { ?s ex:name ?n } GROUP BY ?s",
+    )
+    by_s = {r[0]: (r[4], r[8]) for r in rows}
+    assert by_s["ex:b"] == ("Bob", "Bobby")
+    assert by_s["ex:a"] == ("Alice", "Alice")
+
+
+def test_avg_decimal_parity(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s (AVG(?a) AS ?m) WHERE { ?s ex:age ?a } GROUP BY ?s",
+    )
+    by_s = {r[0]: (r[4], r[6]) for r in rows}
+    # 'nope' fails the cast and is skipped; an all-error group leaves
+    # the alias unbound
+    assert by_s["ex:a"] == ("41.0", XSD + "decimal")
+    assert by_s["ex:b"] == (None, None)
+
+
+def test_group_concat_sorted_with_separator(spark):
+    rows = _parity(
+        spark,
+        PFX + 'SELECT ?s (GROUP_CONCAT(?n; SEPARATOR=", ") AS ?names) '
+        "WHERE { ?s ex:name ?n } GROUP BY ?s",
+    )
+    by_s = {r[0]: (r[4], r[6]) for r in rows}
+    # DEFINED sorted lexical order (collect order is plan-dependent)
+    assert by_s["ex:b"] == ("Bob, Bobby", XSD + "string")
+    assert by_s["ex:a"][0] == "Alice"
+
+
+def test_group_concat_default_separator(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s (GROUP_CONCAT(?n) AS ?names) "
+        "WHERE { ?s ex:name ?n } GROUP BY ?s",
+    )
+    assert {r[0]: r[4] for r in rows}["ex:b"] == "Bob Bobby"
+
+
+def test_having_over_min_rejected(spark):
+    with pytest.raises(ValueError, match="HAVING over MIN/MAX"):
+        sparql_select(
+            triples_from_rows(spark, DATA),
+            PFX + "SELECT ?s (MIN(?n) AS ?lo) WHERE { ?s ex:name ?n } "
+            "GROUP BY ?s HAVING (MIN(?n) > 1)",
+        )
+
+
+# --- DESCRIBE (r05) --------------------------------------------------------------
+
+
+def _describe(spark, query: str) -> set:
+    from shacl_spark.shacl.sparql import sparql_query
+
+    df = sparql_query(triples_from_rows(spark, DATA), query)
+    assert df.columns == ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    return {(r["subj"], r["pred"], r["obj"]) for r in df.collect()}
+
+
+def test_describe_var_where(spark):
+    got = _describe(
+        spark, PFX + "DESCRIBE ?p WHERE { ?p rdf:type ex:Person }"
+    )
+    # the full subject slice of every described resource
+    assert got == {
+        (s, p, o) for (s, p, o, *_) in DATA if s in ("ex:a", "ex:b")
+    }
+
+
+def test_describe_constant_no_where(spark):
+    got = _describe(spark, PFX + "DESCRIBE ex:c")
+    assert got == {(s, p, o) for (s, p, o, *_) in DATA if s == "ex:c"}
+
+
+def test_describe_mixed_targets(spark):
+    got = _describe(
+        spark, PFX + "DESCRIBE ?r ex:a WHERE { ?r rdf:type ex:Robot }"
+    )
+    assert {s for s, _, _ in got} == {"ex:a", "ex:c"}
+
+
+def test_describe_literal_valued_var_ignored(spark):
+    # names are literals — literals cannot be subjects, so nothing
+    got = _describe(spark, PFX + "DESCRIBE ?n WHERE { ex:a ex:name ?n }")
+    assert got == set()
+
+
+def test_describe_unbound_var_raises(spark):
+    from shacl_spark.shacl.sparql import sparql_query
+
+    with pytest.raises(ValueError, match="DESCRIBE references"):
+        sparql_query(
+            triples_from_rows(spark, DATA),
+            PFX + "DESCRIBE ?ghost WHERE { ?s ex:name ?n }",
+        ).collect()
+
+
+def test_describe_needs_target():
+    with pytest.raises(ValueError, match="DESCRIBE needs"):
+        parse_sparql(PFX + "DESCRIBE WHERE { ?s ex:name ?n }", constraint=False)
