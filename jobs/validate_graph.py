@@ -45,6 +45,8 @@ def main(argv=None) -> int:
     # serialize the report-results graph as N-Triples TEXT (r04): the
     # interchange loop closes — any standard RDF tool consumes it
     p.add_argument("--report-nt", dest="report_nt")
+    # ... or as subject-grouped Turtle with a sh:/standard prefix header
+    p.add_argument("--report-ttl", dest="report_ttl")
     # incremental revalidation: --changed (added+removed triple rows) +
     # --prev-report (the previous run's --report output) revalidate only
     # the affected focus nodes and merge (shacl/incremental.py)
@@ -98,7 +100,7 @@ def main(argv=None) -> int:
         by_comp[key] = by_comp.get(key, 0) + r["n"]
     if args.report:
         report.write.mode("overwrite").parquet(args.report)
-    if args.report_triples or args.report_nt:
+    if args.report_triples or args.report_nt or args.report_ttl:
         from shacl_spark.shacl.report import report_to_triples
 
         rt = report_to_triples(report)
@@ -108,6 +110,17 @@ def main(argv=None) -> int:
             from shacl_spark.sources.ntriples import write_ntriples
 
             write_ntriples(rt, args.report_nt)
+        if args.report_ttl:
+            from shacl_spark.functions.terms import RDF as _RDF
+            from shacl_spark.functions.terms import SH as _SH
+            from shacl_spark.functions.terms import XSD as _XSD
+            from shacl_spark.sources.turtle_writer import write_turtle
+
+            write_turtle(
+                rt,
+                args.report_ttl,
+                prefixes={"sh": _SH, "rdf": _RDF, "xsd": _XSD},
+            )
     out = {"conforms": not by_comp, "violations_by_component": by_comp}
     if args.infer:
         out["inferred_triples"] = infer_stats.get("rules_inferred_triples", 0)
