@@ -281,3 +281,138 @@ def test_cli_infer_flag(spark, tmp_path):
     assert inferred["violations_by_component"]["MinCountConstraintComponent"] == 2
     assert inferred["inferred_triples"] == 2
     assert inferred["inference_rounds"] >= 1
+
+
+def test_rules_from_turtle_shapes(spark, tmp_path):
+    """sh:rule shapes authored in Turtle drive inference end-to-end:
+    the Turtle parser's rows feed parse_rules/infer unchanged."""
+    from shacl_spark.shacl.turtle import parse_turtle
+
+    ttl = """
+    @prefix sh: <http://www.w3.org/ns/shacl#> .
+    @prefix ex: <ex:> .
+    ex:S a sh:NodeShape ;
+        sh:targetClass ex:Person ;
+        sh:rule ex:r .
+    ex:r a sh:TripleRule ;
+        sh:subject sh:this ;
+        sh:predicate ex:elder ;
+        sh:object ex:pexpr ;
+        sh:order 1 .
+    ex:pexpr sh:path ex:parent .
+    """
+    shapes = parse_turtle(ttl)
+    rules = parse_rules(shapes)
+    assert len(rules) == 1 and rules[0].order == 1.0
+    data = triples_from_rows(spark, DATA)
+    got = {
+        (r["subj"], r["pred"], r["obj"])
+        for r in infer_new(data, shapes).collect()
+    }
+    assert got == {
+        ("ex:alice", "ex:elder", "ex:bob"),
+        ("ex:bob", "ex:elder", "ex:carol"),
+    }
+
+
+# --- property fuzzing (r05): random TripleRule sets vs naive fixpoint ---------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_F_SUBJECTS = [f"ex:n{i}" for i in range(5)]
+_F_PREDS = ["ex:p0", "ex:p1", "ex:p2"]
+_F_CLASSES = ["ex:C0", "ex:C1"]
+
+
+@st.composite
+def _f_data(draw):
+    rows = []
+    for s in _F_SUBJECTS:
+        rows.append((s, T, draw(st.sampled_from(_F_CLASSES)), "iri", None, None))
+        for p in _F_PREDS:
+            for _ in range(draw(st.integers(0, 2))):
+                o = draw(st.sampled_from(_F_SUBJECTS))
+                rows.append((s, p, o, "iri", None, None))
+    return sorted(set(rows))
+
+
+@st.composite
+def _f_rules(draw):
+    """1-3 TripleRules on a shape targeting a random class: subject is
+    always sh:this, predicate a constant, object sh:this / constant /
+    a path over a data predicate — the full node-expression surface."""
+    cls = draw(st.sampled_from(_F_CLASSES))
+    rows = [
+        ("ex:S", T, SH + "NodeShape", "iri", None, None),
+        ("ex:S", SH + "targetClass", cls, "iri", None, None),
+    ]
+    n_rules = draw(st.integers(1, 3))
+    specs = []
+    for i in range(n_rules):
+        r = f"ex:r{i}"
+        pred = draw(st.sampled_from(_F_PREDS + ["ex:inferred"]))
+        obj_kind = draw(st.sampled_from(["this", "const", "path"]))
+        rows += [
+            ("ex:S", SH + "rule", r, "iri", None, None),
+            (r, T, SH + "TripleRule", "iri", None, None),
+            (r, SH + "subject", SH + "this", "iri", None, None),
+            (r, SH + "predicate", pred, "iri", None, None),
+        ]
+        if obj_kind == "this":
+            rows.append((r, SH + "object", SH + "this", "iri", None, None))
+            specs.append((pred, ("this",)))
+        elif obj_kind == "const":
+            const = draw(st.sampled_from(_F_SUBJECTS))
+            rows.append((r, SH + "object", const, "iri", None, None))
+            specs.append((pred, ("const", const)))
+        else:
+            hop = draw(st.sampled_from(_F_PREDS))
+            rows += [
+                (r, SH + "object", f"ex:e{i}", "iri", None, None),
+                (f"ex:e{i}", SH + "path", hop, "iri", None, None),
+            ]
+            specs.append((pred, ("path", hop)))
+    return cls, rows, specs
+
+
+def _naive_fixpoint(data, cls, specs):
+    """Driver recomputation of the round schedule: focus = instances of
+    cls in the CURRENT graph, each rule adds (focus, pred, objexpr)."""
+    triples = {(s, p, o) for (s, p, o, *_) in data}
+    while True:
+        focus = {s for (s, p, o) in triples if p == T and o == cls}
+        new = set()
+        for pred, spec in specs:
+            for f in focus:
+                if spec[0] == "this":
+                    new.add((f, pred, f))
+                elif spec[0] == "const":
+                    new.add((f, pred, spec[1]))
+                else:
+                    for s, p, o in triples:
+                        if s == f and p == spec[1]:
+                            new.add((f, pred, o))
+        if new <= triples:
+            return triples
+        triples |= new
+
+
+@settings(
+    max_examples=int(__import__("os").environ.get("SPARK_GRAFT_FUZZ_EXAMPLES", "10")),
+    deadline=None,
+    derandomize=True,
+    suppress_health_check=[HealthCheck.too_slow, HealthCheck.data_too_large],
+)
+@given(data=_f_data(), rules=_f_rules())
+def test_random_triple_rules_match_naive_fixpoint(spark_session, data, rules):
+    cls, shape_rows, specs = rules
+    out = infer(triples_from_rows(spark_session, [r[:3] for r in data]), shape_rows)
+    got = {(r["subj"], r["pred"], r["obj"]) for r in out.collect()}
+    want = _naive_fixpoint(data, cls, specs)
+    assert got == want, f"\nengine-only: {sorted(got - want)}\nnaive-only: {sorted(want - got)}"
+
+
+@pytest.fixture(scope="module")
+def spark_session(spark):
+    return spark
