@@ -56,8 +56,11 @@ def main(argv=None) -> int:
     # inline JSON object, e.g. '{"ex": "http://ex.org/"}'
     p.add_argument("--jsonld-context", dest="jsonld_context")
     # SHACL-AF rules (r05): execute sh:rule inference from the SAME
-    # shapes graph to fixpoint and validate the EXPANDED data graph
+    # shapes graph to fixpoint and validate the EXPANDED data graph;
+    # --infer-out also persists the expanded graph (parquet dir, or
+    # .nt / .ttl text by extension) for downstream consumers
     p.add_argument("--infer", action="store_true")
+    p.add_argument("--infer-out", dest="infer_out")
     p.add_argument("--master", default=None)
     args = p.parse_args(argv)
 
@@ -76,6 +79,17 @@ def main(argv=None) -> int:
         triples = infer(
             triples, _read_shapes_rows(spark, args.shapes), stats=infer_stats
         )
+        if args.infer_out:
+            if args.infer_out.endswith(".nt"):
+                from shacl_spark.sources.ntriples import write_ntriples
+
+                write_ntriples(triples, args.infer_out)
+            elif args.infer_out.endswith(".ttl"):
+                from shacl_spark.sources.turtle_writer import write_turtle
+
+                write_turtle(triples, args.infer_out)
+            else:
+                triples.write.mode("overwrite").parquet(args.infer_out)
     if args.changed and args.prev_report:
         from shacl_spark.shacl.incremental import incremental_revalidate
 

@@ -416,3 +416,27 @@ def test_random_triple_rules_match_naive_fixpoint(spark_session, data, rules):
 @pytest.fixture(scope="module")
 def spark_session(spark):
     return spark
+
+
+def test_cli_infer_out_persists_expanded_graph(spark, tmp_path):
+    import json
+    import os
+    import subprocess
+    import sys as _sys
+
+    shapes = _shape_rows(*_triple_rule("ex:r", SH + "this", T, "ex:Human"))
+    d = tmp_path
+    triples_from_rows(spark, DATA).write.parquet(str(d / "data"))
+    triples_from_rows(spark, shapes).write.parquet(str(d / "shapes"))
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    res = subprocess.run(
+        [_sys.executable, "jobs/validate_graph.py",
+         "--data", str(d / "data"), "--shapes", str(d / "shapes"),
+         "--infer", "--infer-out", str(d / "expanded"),
+         "--master", "local[4]"],
+        capture_output=True, text=True, env=env, cwd="/root/repo",
+    )
+    assert res.returncode == 0, res.stderr[-2000:]
+    assert json.loads(res.stdout.strip().splitlines()[-1])["inferred_triples"] == 2
+    out = spark.read.parquet(str(d / "expanded"))
+    assert out.count() == len(DATA) + 2
