@@ -1996,6 +1996,8 @@ _POST_WINDOW_SHACL = {
     # r05: DESCRIBE form + GROUP_CONCAT aggregate (sparql.py)
     "sparql_describe_engine",
     "sparql_group_concat_engine",
+    # r05: subqueries ({ SELECT ... } bottom-up, compatibility join)
+    "sparql_subquery_engine",
 }
 
 

@@ -1036,3 +1036,31 @@ dn AS (SELECT d.obj AS d, n.obj AS n
        FROM t d JOIN t n ON n.subj = d.subj AND n.pred = 'ex:name'
        WHERE d.pred = 'ex:dept')
 SELECT d, string_agg(n, ', ' ORDER BY n) AS names FROM dn GROUP BY d"""
+
+
+# --- r05: SPARQL subqueries (sparql.py _subselect) ----------------------------
+
+
+def _sparql_subquery_engine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The canonical subquery shape over the fixture: a grouped
+    aggregate ({ SELECT ?p (COUNT ?k) GROUP BY ?p }) joined back to the
+    outer name solutions on the shared variable — evaluated bottom-up
+    on its own unit frame, merged with SPARQL join compatibility."""
+    from shacl_spark.shacl.sparql import sparql_select
+
+    return sparql_select(
+        spark.read.parquet(FIXTURE),
+        "PREFIX ex: <ex:> SELECT ?p ?n ?cnt WHERE { ?p ex:name ?n . "
+        "{ SELECT ?p (COUNT(?k) AS ?cnt) WHERE { ?p ex:knows ?k } "
+        "GROUP BY ?p } }",
+    ).select("p", "n", "cnt")
+
+
+_sparql_subquery_engine.__name__ = "sparql_subquery_engine"
+SHACL_QUERIES["sparql_subquery_engine"] = _sparql_subquery_engine
+SHACL_ORACLES["sparql_subquery_engine"] = f"""WITH t AS ({_TSRC}),
+deg AS (SELECT subj AS p, CAST(COUNT(obj) AS VARCHAR) AS cnt
+        FROM t WHERE pred = 'ex:knows' GROUP BY subj)
+SELECT n.subj AS p, n.obj AS n, deg.cnt
+FROM t n JOIN deg ON deg.p = n.subj
+WHERE n.pred = 'ex:name'"""

@@ -773,6 +773,38 @@ def _sparql_solutions(store: Store, q, focus: Term | None) -> list[dict]:
             binds_list = nxt
             stat_bound |= set(vars_)
             continue
+        if kind == "subquery":
+            # { SELECT ... } (r05): recurse bottom-up, project to the
+            # SELECTed vars (internal vars scope OUT, bag multiplicity
+            # preserved), then the same compatibility merge VALUES uses
+            sub = payload
+            rows = []
+            seen: set = set()
+            for s in _sparql_solutions(store, sub, None):
+                rb = {v: s[v] for v in sub.select if s.get(v) is not None}
+                if sub.distinct:
+                    k = tuple(
+                        tkey(rb[v]) if v in rb else None for v in sub.select
+                    )
+                    if k in seen:
+                        continue
+                    seen.add(k)
+                rows.append(rb)
+            nxt = []
+            for b in binds_list:
+                for rb in rows:
+                    if any(
+                        v in b and v in rb and tkey(b[v]) != tkey(rb[v])
+                        for v in sub.select
+                    ):
+                        continue
+                    m = dict(b)
+                    for v, t in rb.items():
+                        m.setdefault(v, t)
+                    nxt.append(m)
+            binds_list = nxt
+            stat_bound |= set(sub.select)
+            continue
         if kind == "minus":
             # MINUS (r05): drop solutions compatible with a group
             # solution on the STATICALLY shared vars; no shared vars →

@@ -350,6 +350,25 @@ class SparqlParser:
                 if self._peek() == ("punct", "."):
                     self._next()
                 continue
+            if (
+                k == "punct"
+                and v == "{"
+                and self.i + 1 < len(self.toks)
+                and (self.toks[self.i + 1][1] or "").upper() == "SELECT"
+            ):
+                # { SELECT ... } — a subquery (r05, standalone surface
+                # only): evaluated bottom-up, joined on its projected
+                # variables with SPARQL join compatibility
+                if self.constraint:
+                    raise ValueError(
+                        "sparql: subqueries are unsupported in the "
+                        "sh:sparql subset"
+                    )
+                self._next()
+                q.statements.append(("subquery", self._subselect()))
+                if self._peek() == ("punct", "."):
+                    self._next()
+                continue
             if k == "punct" and v == "{":
                 # group blocks: { arm } UNION { arm } [UNION { arm }...]
                 arms = [self._group_block()]
@@ -540,6 +559,73 @@ class SparqlParser:
         self._expect("punct", ")")
         return Agg(fn, var, sep)
 
+    def _subselect(self) -> Query:
+        """``SELECT [DISTINCT] ?v... (AGG(?x) AS ?a)... WHERE { BGP }
+        [GROUP BY ?v...]`` then the closing ``}`` of the enclosing
+        braces — the restricted subquery subset: a plain BGP body
+        (no nested groups), projection + aggregation only.  Vars not
+        projected are scoped OUT (standard SPARQL subquery scoping)."""
+        sub = Query()
+        self._expect(val="SELECT")
+        if (
+            self._peek()[0] == "ident"
+            and (self._peek()[1] or "").upper() == "DISTINCT"
+        ):
+            self._next()
+            sub.distinct = True
+        while True:
+            k, v = self._peek()
+            if k == "var":
+                sub.select.append(self._next()[1][1:].lower())
+                continue
+            if k == "punct" and v == "(":
+                self._next()
+                agg = self._agg()
+                self._expect("ident", "AS")
+                ak, av = self._next()
+                if ak != "var":
+                    raise ValueError("sparql: AS needs a variable alias")
+                alias = av[1:].lower()
+                self._expect("punct", ")")
+                sub.aggregates.append((agg, alias))
+                sub.select.append(alias)
+                continue
+            break
+        if not sub.select:
+            raise ValueError("sparql: subquery SELECT needs a projection")
+        self._expect(val="WHERE")
+        self._expect("punct", "{")
+        while self._peek() != ("punct", "}"):
+            if self._peek()[0] is None:
+                raise ValueError("sparql: unterminated subquery WHERE")
+            pat = self._pattern()
+            sub.patterns.append(pat)
+            sub.statements.append(("pattern", pat))
+        self._expect("punct", "}")
+        nk, nv = self._peek()
+        if nk == "ident" and (nv or "").upper() == "GROUP":
+            self._next()
+            self._expect("ident", "BY")
+            while self._peek()[0] == "var":
+                sub.group_by.append(self._next()[1][1:].lower())
+            if not sub.group_by:
+                raise ValueError("sparql: GROUP BY needs variables")
+        if sub.aggregates and not sub.group_by:
+            raise ValueError(
+                "sparql: subquery aggregates require GROUP BY in this subset"
+            )
+        non_agg = [
+            v for v in sub.select
+            if v not in {a for _, a in sub.aggregates}
+        ]
+        if sub.group_by and set(non_agg) - set(sub.group_by):
+            raise ValueError(
+                "sparql: subquery SELECT vars outside GROUP BY: "
+                f"{sorted(set(non_agg) - set(sub.group_by))}"
+            )
+        self._expect("punct", "}")
+        return sub
+
     def _group_block(self) -> list[Pattern]:
         """``{ pattern* }`` — used by UNION arms."""
         self._expect("punct", "{")
@@ -720,6 +806,32 @@ def translate(
             F.col(_vcol("value", "lang")).alias("lang"),
         ]
     return cur.select(*cols).distinct()
+
+
+def _subquery_solutions(
+    sub: Query, triples: DataFrame, counter: list
+) -> tuple[DataFrame, list[str]]:
+    """Evaluate a ``{ SELECT ... }`` subquery on its own unit frame and
+    return (solution frame projected to the SELECTed vars' term
+    columns, projected var names).  Bag semantics unless DISTINCT."""
+    spark = triples.sparkSession
+    cur = spark.range(1).select(F.lit(1).alias("__unit"))
+    bound: set[str] = set()
+    cur = _solution_frame(cur, bound, sub, triples, counter)
+    if sub.group_by:
+        cur = _apply_aggregation(cur, sub, bound, with_this=False)
+        bound = set(sub.group_by) | {a for _, a in sub.aggregates}
+    missing = set(sub.select) - bound
+    if missing:
+        raise ValueError(
+            f"sparql: subquery SELECT references unbound vars {missing}"
+        )
+    out = cur.select(
+        *[F.col(_vcol(v, p)) for v in sub.select for p in _VCOLS]
+    )
+    if sub.distinct:
+        out = out.distinct()
+    return out, list(sub.select)
 
 
 def translate_select(query: Query, triples: DataFrame) -> DataFrame:
@@ -1009,6 +1121,53 @@ def _solution_frame(
                             f"__val_{v}_{p}", _vcol(v, p)
                         )
             bound |= set(vars_)
+            continue
+        if kind == "subquery":
+            # { SELECT ... } (r05): evaluated bottom-up on its own unit
+            # frame (projection scopes its internal vars OUT), then
+            # joined in with the same per-shared-var compatibility and
+            # bound-side merge VALUES uses.  An aggregate alias can be
+            # NULL (all-error group) — the null-compatibility arm
+            # handles it like an UNDEF.
+            sub = payload
+            sf, svars = _subquery_solutions(sub, triples, counter)
+            tag = f"sq{counter[0]}"
+            counter[0] += 1
+            for v in svars:
+                for p in _VCOLS:
+                    sf = sf.withColumnRenamed(_vcol(v, p), f"__{tag}_{v}_{p}")
+            shared = [v for v in svars if v in bound]
+            cond = F.lit(True)
+            for v in shared:
+                cv, vv = F.col(_vcol(v, "val")), F.col(f"__{tag}_{v}_val")
+                eq = (
+                    (cv == vv)
+                    & (F.col(_vcol(v, "kind")) == F.col(f"__{tag}_{v}_kind"))
+                    & F.col(_vcol(v, "dt")).eqNullSafe(F.col(f"__{tag}_{v}_dt"))
+                    & F.col(_vcol(v, "lang")).eqNullSafe(
+                        F.col(f"__{tag}_{v}_lang")
+                    )
+                )
+                cond = cond & (cv.isNull() | vv.isNull() | eq)
+            cur = cur.join(sf, cond)
+            merged = {}
+            for v in shared:
+                was_unbound = F.col(_vcol(v, "val")).isNull()
+                for p in _VCOLS:
+                    merged[_vcol(v, p)] = F.when(
+                        was_unbound, F.col(f"__{tag}_{v}_{p}")
+                    ).otherwise(F.col(_vcol(v, p)))
+            if merged:
+                cur = cur.withColumns(merged)
+            for v in svars:
+                if v in shared:
+                    cur = cur.drop(*[f"__{tag}_{v}_{p}" for p in _VCOLS])
+                else:
+                    for p in _VCOLS:
+                        cur = cur.withColumnRenamed(
+                            f"__{tag}_{v}_{p}", _vcol(v, p)
+                        )
+            bound |= set(svars)
             continue
         if kind == "minus":
             # MINUS { pattern* }: anti-join on the shared variables; a

@@ -543,3 +543,75 @@ def test_describe_unbound_var_raises(spark):
 def test_describe_needs_target():
     with pytest.raises(ValueError, match="DESCRIBE needs"):
         parse_sparql(PFX + "DESCRIBE WHERE { ?s ex:name ?n }", constraint=False)
+
+
+# --- subqueries (r05) -------------------------------------------------------------
+
+
+def test_subquery_aggregate_join_parity(spark):
+    """The canonical subquery shape: a grouped aggregate joined back to
+    the outer solutions on the shared variable."""
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?n ?deg WHERE { ?s ex:name ?n . "
+        "{ SELECT ?s (COUNT(?o) AS ?deg) WHERE { ?s ex:knows ?o } "
+        "GROUP BY ?s } }",
+    )
+    by_s = {(r[0], r[4], r[8]) for r in rows}
+    # ex:a knows ex:b (1); ex:b (2 names) knows ex:c (1); ex:c has no
+    # outgoing ex:knows -> no subquery row -> dropped by the join
+    assert by_s == {
+        ("ex:a", "Alice", "1"),
+        ("ex:b", "Bob", "1"),
+        ("ex:b", "Bobby", "1"),
+    }
+
+
+def test_subquery_distinct_projection_parity(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?w WHERE { ?s ex:worksFor ?w . "
+        "{ SELECT DISTINCT ?s WHERE { ?s ex:name ?n } } }",
+    )
+    assert [(r[0], r[4]) for r in rows] == [("ex:a", "ex:acme")]
+
+
+def test_subquery_no_shared_vars_is_bag_cross(spark):
+    rows = _parity(
+        spark,
+        PFX + "SELECT ?s ?c WHERE { ?s ex:worksFor ?o . "
+        "{ SELECT ?k (COUNT(?x) AS ?c) WHERE { ?x rdf:type ?k } "
+        "GROUP BY ?k } }",
+    )
+    # one worksFor solution x two type groups (Person:2, Robot:1)
+    assert {(r[0], r[4]) for r in rows} == {("ex:a", "2"), ("ex:a", "1")}
+
+
+def test_subquery_scopes_internal_vars_out(spark):
+    from shacl_spark.shacl.sparql import sparql_select as _ss
+
+    with pytest.raises(ValueError, match="unbound"):
+        _ss(
+            triples_from_rows(spark, DATA),
+            PFX + "SELECT ?o WHERE { "
+            "{ SELECT ?s WHERE { ?s ex:knows ?o } } }",
+        )
+
+
+def test_subquery_rejected_in_constraint_mode():
+    with pytest.raises(ValueError, match="subqueries are unsupported"):
+        parse_sparql(
+            PFX + "SELECT ?this WHERE { ?this ex:name ?n . "
+            "{ SELECT ?this (COUNT(?o) AS ?c) WHERE { ?this ex:knows ?o } "
+            "GROUP BY ?this } }"
+        )
+
+
+def test_subquery_select_vars_need_group_by():
+    with pytest.raises(ValueError, match="outside GROUP BY"):
+        parse_sparql(
+            PFX + "SELECT ?s WHERE { "
+            "{ SELECT ?s ?o (COUNT(?x) AS ?c) WHERE { ?s ex:knows ?o . "
+            "?o ex:knows ?x } GROUP BY ?s } }",
+            constraint=False,
+        )
