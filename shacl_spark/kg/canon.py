@@ -133,6 +133,8 @@ def rewrite_triples(
     obj_map = base_map.select(
         F.col("id").alias("obj"), F.col("canonical").alias("obj_canon")
     )
+    ident = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    extra = [c for c in triples.columns if c not in ident]
     rewritten = (
         triples.join(subj_map, "subj", "left")
         .join(obj_map, "obj", "left")
@@ -146,10 +148,7 @@ def rewrite_triples(
             "obj_kind",
             "obj_dt",
             "obj_lang",
-            "src_repo",
-            "src_path",
-            "src_commit",
-            "part_id",
+            *extra,
         )
     )
     # obj_kind participates in triple identity: an IRI object and a
@@ -157,20 +156,17 @@ def rewrite_triples(
     # (matches engine.py's input normalization; ADVICE r01).  Same
     # single shuffle as dropDuplicates — a hash aggregate on the
     # identity key — but min(struct) instead of arbitrary-first for the
-    # surviving provenance.
-    prov = F.min(
-        F.struct("src_repo", "src_path", "src_commit", "part_id")
-    ).alias("_prov")
+    # surviving provenance.  The provenance struct is derived from the
+    # input frame's ACTUAL extra columns (ADVICE r05, low: hard-coding
+    # src_repo/... broke callers passing a bare six-column frame, which
+    # the pre-r05 dropDuplicates handled fine).
+    if not extra:
+        return rewritten.dropDuplicates(ident)
+    prov = F.min(F.struct(*extra)).alias("_prov")
     return (
-        rewritten.groupBy("subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang")
+        rewritten.groupBy(*ident)
         .agg(prov)
-        .select(
-            "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang",
-            F.col("_prov.src_repo").alias("src_repo"),
-            F.col("_prov.src_path").alias("src_path"),
-            F.col("_prov.src_commit").alias("src_commit"),
-            F.col("_prov.part_id").alias("part_id"),
-        )
+        .select(*ident, *[F.col(f"_prov.{c}").alias(c) for c in extra])
     )
 
 

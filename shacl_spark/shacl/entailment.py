@@ -222,9 +222,19 @@ def rdfs_entailment(
     new = derived[0]
     for d in derived[1:]:
         new = new.unionByName(d)
-    new = new.dropDuplicates(TERM_COLS).join(
-        triples.select(*TERM_COLS), TERM_COLS, "left_anti"
-    )
+    new = new.dropDuplicates(TERM_COLS)
+    # null-SAFE anti-join (ADVICE r05, high): obj_dt/obj_lang are NULL
+    # for IRI objects, and a column-name join's NULL=NULL never matches,
+    # so a derived triple that is also asserted would survive and
+    # duplicate — violating RDF set semantics for bag-sensitive
+    # consumers (COUNT over an entailed graph).  Same condition shape
+    # as rules.infer_new.
+    orig = triples.select(*TERM_COLS)
+    cond = None
+    for c in TERM_COLS:
+        eq = new[c].eqNullSafe(orig[c])
+        cond = eq if cond is None else (cond & eq)
+    new = new.join(orig, cond, "left_anti")
     for c in triples.columns:
         if c not in new.columns:
             new = new.withColumn(c, F.lit(None).cast(triples.schema[c].dataType))

@@ -160,13 +160,41 @@ class Result:
         )
 
 
+# mirrors Spark try_cast(... as double): trimmed, optional sign,
+# inf/infinity/nan (case-insensitive), decimal/scientific notation with
+# Java's optional d/D/f/F suffix; REJECTS Python-isms like '1_000'
+# (ADVICE r05, low: bare float() accepted forms Spark rejects, so the
+# interpreter and the engine could tier a value differently and the
+# incremental local fast path could diverge from full validation)
+import re as _re
+
+_SPARK_DOUBLE_RE = _re.compile(
+    r"[+-]?(inf(inity)?|nan|((\d+\.?\d*|\.\d+)(e[+-]?\d+)?[dDfF]?))\Z",
+    _re.IGNORECASE,
+)
+
+
+def _spark_double(value) -> float | None:
+    """float(value) under Spark try_cast('double') lexical rules."""
+    if value is None:
+        return None
+    s = value.strip()
+    if not _SPARK_DOUBLE_RE.match(s):
+        return None
+    if s[-1] in "dDfF" and not s[-1:].isdigit():
+        low = s.lower()
+        if not (low.endswith("inf") or low.endswith("infinity") or low.endswith("nan")):
+            s = s[:-1]
+    try:
+        return float(s)
+    except ValueError:  # pragma: no cover — regex should preclude this
+        return None
+
+
 def _num(t: Term):
     if t.kind != "literal" or (t.dt is not None and t.dt not in NUMERIC_DTS):
         return None
-    try:
-        return float(t.value)
-    except ValueError:
-        return None
+    return _spark_double(t.value)
 
 
 def _time(t: Term):
@@ -945,11 +973,20 @@ def _sparql_group(q, sols: list[dict]) -> list[dict]:
             # engine: two-tier packed struct — numeric-castable first
             # (by numeric value), then lexical form, kind, dt, lang
             def key(t):
-                try:
-                    num, nn = float(t.value), 0
-                except (TypeError, ValueError):
-                    num, nn = 0.0, 1
-                return (nn, num, t.value, t.kind, t.dt or "", t.lang or "")
+                # strict Spark-try_cast numeric gate (ADVICE r05, low):
+                # bare float() accepted '1_000' forms Spark rejects,
+                # tiering values differently than the engine.  NaN gets
+                # its own sub-tier above +Inf (Spark's double ordering)
+                # so Python tuple comparison stays a total order.
+                import math
+
+                num = _spark_double(t.value)
+                nn = 1 if num is None else 0
+                is_nan = 1 if (num is not None and math.isnan(num)) else 0
+                return (
+                    nn, is_nan, 0.0 if num is None or is_nan else num,
+                    t.value, t.kind, t.dt or "", t.lang or "",
+                )
 
             if not vals:
                 return None

@@ -877,8 +877,14 @@ def translate_select(query: Query, triples: DataFrame) -> DataFrame:
         for v, desc in query.order_by:
             val = F.col(v)
             num = val.try_cast("double")
-            # unbound last, numeric-castable before lexical, then value
-            for key in (val.isNull(), num.isNull(), num, val):
+            # unbound last, numeric-castable before lexical, then value.
+            # The tier flags stay ASCENDING under DESC too (ADVICE r05,
+            # medium): SPARQL's DESC still sorts unbound lowest — hence
+            # last — and the engine's documented ordering puts numerics
+            # first either way; only the value keys reverse.
+            keys.append(val.isNull().asc())
+            keys.append(num.isNull().asc())
+            for key in (num, val):
                 keys.append(key.desc() if desc else key.asc())
         out = out.orderBy(*keys)
     if query.limit is not None:

@@ -150,9 +150,24 @@ def read_jsonld_lines(
     iri_obj = is_type | (st.startswith("OBJECT") & oid.isNotNull())
     iri_val = ex(F.when(is_type, as_str).otherwise(oid))
     lit_lex = F.when(st.startswith("OBJECT"), oval).otherwise(as_str)
+    # a value object with a NATIVE-typed @value and no @type/@language
+    # ({"@value": 5}) derives its datatype from the @value field's own
+    # variant type — same mapping as a bare native value (ADVICE r05,
+    # low: the element-level branches saw OBJECT and fell through to
+    # xsd:string, silently inconsistent with bare 5 → xsd:integer)
+    vst = F.schema_of_variant(
+        F.try_variant_get(F.col("_e"), "$['@value']", "variant")
+    )
     lit_dt = (
         F.when(st.startswith("OBJECT") & odt.isNotNull(), ex(odt))
         .when(st.startswith("OBJECT") & olang.isNotNull(), F.lit(RDF + "langString"))
+        .when(st.startswith("OBJECT") & vst.isin(*_INT_TYPES), F.lit(XSD + "integer"))
+        .when(
+            st.startswith("OBJECT")
+            & (vst.startswith("DECIMAL") | vst.isin("DOUBLE", "FLOAT")),
+            F.lit(XSD + "double"),
+        )
+        .when(st.startswith("OBJECT") & (vst == "BOOLEAN"), F.lit(XSD + "boolean"))
         .when(st.isin(*_INT_TYPES), F.lit(XSD + "integer"))
         .when(
             st.startswith("DECIMAL") | st.isin("DOUBLE", "FLOAT"),

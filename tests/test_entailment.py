@@ -206,3 +206,24 @@ def test_incremental_full_fallback_on_entailment(spark):
     )
     assert stats["mode"] == "full_entailment"
     assert [r["focus"] for r in rep.collect()] == ["ex:a"]
+
+
+def test_derived_duplicate_of_asserted_not_duplicated(spark):
+    """ADVICE r05 (high): a derived triple that is ALSO asserted must
+    appear exactly once — the anti-join must be null-safe on the NULL
+    obj_dt/obj_lang of IRI objects (RDF set semantics; bag-sensitive
+    consumers like SPARQL COUNT read the entailed frame)."""
+    rows = [
+        ("ex:Emp", SCO, "ex:Person"),
+        ("ex:a", TYPE, "ex:Emp"),
+        ("ex:a", TYPE, "ex:Person"),  # asserted AND rdfs9-derivable
+    ]
+    out = rdfs_entailment(triples_from_rows(spark, rows))
+    dup = out.where(
+        (out["subj"] == "ex:a") & (out["pred"] == TYPE) & (out["obj"] == "ex:Person")
+    )
+    assert dup.count() == 1
+    # full-frame bag check: no triple appears twice
+    assert out.count() == out.dropDuplicates(
+        ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+    ).count()

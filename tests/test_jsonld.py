@@ -133,3 +133,22 @@ ex:S a sh:NodeShape ;
     assert (E + "a", "DatatypeConstraintComponent") in comps
     assert (E + "b", "MinCountConstraintComponent") not in comps
     assert len([c for c in comps if c[1] == "DatatypeConstraintComponent"]) == 1
+
+
+def test_value_object_native_typing(spark, tmp_path):
+    """ADVICE r05 (low): {"@value": 5} with no @type/@language derives
+    its datatype from the NATIVE @value typing — consistent with bare
+    5 → xsd:integer (JSON-LD semantics; 'VARIANT preserves exact JSON
+    typing' contract)."""
+    lines = (
+        '{"@id":"ex:v","ex:i":{"@value":5},"ex:d":{"@value":1.25},'
+        '"ex:b":{"@value":false},"ex:s":{"@value":"five"}}'
+    )
+    p = tmp_path / "v.jsonl"
+    p.write_text(lines)
+    df = read_jsonld_lines(spark, str(p), context=CTX)
+    rows = {tuple(r) for r in df.collect()}
+    assert (E + "v", E + "i", "5", "literal", XSD + "integer", None) in rows
+    assert (E + "v", E + "d", "1.25", "literal", XSD + "double", None) in rows
+    assert (E + "v", E + "b", "false", "literal", XSD + "boolean", None) in rows
+    assert (E + "v", E + "s", "five", "literal", XSD + "string", None) in rows

@@ -168,6 +168,20 @@ def test_order_by_numeric_before_lexical(spark):
     assert rows == [("ex:a", "41"), ("ex:b", "nope")]
 
 
+def test_order_by_desc_unbound_last(spark):
+    """ADVICE r05 (medium): under DESC the unbound/non-numeric tier
+    flags must stay ascending — unbound rows sort LAST and numerics
+    still come before non-numerics."""
+    rows_data = DATA + [("ex:d", "rdf:type", "ex:Person")]
+    df = sparql_select(
+        triples_from_rows(spark, rows_data),
+        PFX + "SELECT ?s ?a WHERE { ?s rdf:type ex:Person . "
+        "OPTIONAL { ?s ex:age ?a } } ORDER BY DESC(?a)",
+    )
+    rows = [(r["s"], r["a"]) for r in df.collect()]
+    assert rows == [("ex:a", "41"), ("ex:b", "nope"), ("ex:d", None)], rows
+
+
 def test_order_by_unselected_var_raises(spark):
     with pytest.raises(ValueError, match="ORDER BY references"):
         sparql_select(
