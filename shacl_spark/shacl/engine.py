@@ -119,15 +119,38 @@ class Validator:
         engine's path/count logic relies on a distinct triple frame, so
         the input is normalized once here (one shuffle).  Callers whose
         frame is distinct by construction (the KG pipeline dedups at
-        extraction/canonicalization) pass ``assume_distinct=True``."""
+        extraction/canonicalization) pass ``assume_distinct=True``.
+
+        The triple frame is hash-partitioned by ``subj`` ONCE (and
+        persisted alongside the other per-run caches): almost every
+        engine operation is subj-keyed — target distincts, the
+        multi-predicate child joins, per-focus cardinality groupBys,
+        the closed-shape semi-join — and with co-partitioned inputs
+        Catalyst drops the per-operation Exchange entirely.  Profiled
+        r06: the metamodel validation ran ~40 AQE jobs, one per
+        Exchange, each paying ~100-400 ms of fixed stage scheduling —
+        one up-front shuffle replaces most of them.  The dedup
+        aggregate below reuses the same exchange (partitioning on a
+        subset of the grouping keys satisfies the clustering
+        requirement), so non-distinct inputs still pay ONE shuffle."""
         self.spark = spark
-        self.t = (
-            triples
-            if assume_distinct
-            else triples.dropDuplicates(
-                ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+        ident = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+        self._cached: list[DataFrame] = []
+        if cache:
+            # project to the six term columns FIRST — the engine never
+            # reads lineage columns, and dropping them ahead of the
+            # exchange shuffles ~40% fewer bytes on pipeline frames
+            t = triples.select(*ident).repartition(F.col("subj"))
+            if not assume_distinct:
+                t = t.dropDuplicates(ident)
+            self.t = t.persist()
+            self._cached.append(self.t)
+        else:
+            # restricted/incremental slices arrive pre-checkpointed at
+            # few partitions; re-shuffling them buys nothing
+            self.t = (
+                triples if assume_distinct else triples.dropDuplicates(ident)
             )
-        )
         self.shapes = shapes
         self.cache = cache
         # incremental revalidation (shacl/incremental.py): restrict every
@@ -136,7 +159,6 @@ class Validator:
         # partial coverage with delta evaluation.
         self._only_nodes = only_nodes
         self._closure: DataFrame | None = None
-        self._cached: list[DataFrame] = []
         # per-shape conformance memo: shape_iri → checkpointed
         # DF[node, kind, dt, lang, bad], keyed on the UNIQUE term key
         # (terms.node_key_col) so terms with equal lexical form but
@@ -341,6 +363,14 @@ class Validator:
             self.shapes.entry_shapes(),
             key=lambda s: not self._results_carry_root_focus(s),
         )
+        # a seeded memo only pays off when some OTHER shape references
+        # this one (sh:node/not/and/or/xone) — seeding an unreferenced
+        # entry shape costs a localCheckpoint materialization job whose
+        # report rows would otherwise fuse into the final count (r06:
+        # each extra materialization is a full multi-stage Spark job)
+        referenced: set[str] = set()
+        for s in self.shapes.shapes.values():
+            referenced |= set(s.referenced_shapes())
         for shape in entries:
             nodes = focus_nodes(self.spark, shape, self.t, self.closure)
             if self._only_nodes is not None:
@@ -348,7 +378,8 @@ class Validator:
                 nodes = nodes.join(F.broadcast(self._only_nodes), "node", "left_semi")
             rep = self.evaluate(shape, nodes)
             seed = (
-                shape.iri not in self._conf_memo
+                shape.iri in referenced
+                and shape.iri not in self._conf_memo
                 and self._results_carry_root_focus(shape)
             )
             if seed:
