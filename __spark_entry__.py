@@ -200,16 +200,24 @@ def join_broadcast_dims(spark, sf_dir):
        ORDER BY revenue DESC, o_orderkey ASC LIMIT 10""",
 )
 def join_shuffle_revenue_topk(spark, sf_dir):
-    o = _t(spark, sf_dir, "orders")
+    """Pre-aggregate lineitem by l_orderkey BEFORE the join (r06,
+    guide §2.3 "aggregate before you shuffle"): o_orderkey is unique in
+    orders, so grouping the joined frame by (o_orderkey, o_orderdate)
+    is equivalent to aggregating lineitem alone and attaching
+    o_orderdate afterwards — the exchange then carries one partially
+    aggregated row per order instead of every lineitem row, and the
+    join needs no post-join re-aggregation (sums of DECIMAL are exact,
+    so the value is order-independent and the oracle hash unchanged)."""
+    o = _t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
     li = _t(spark, sf_dir, "lineitem")
+    rev = li.groupBy(F.col("l_orderkey").alias("o_orderkey")).agg(
+        F.round(
+            F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
+        ).cast("double").alias("revenue")
+    )
     return (
-        o.join(li, o["o_orderkey"] == li["l_orderkey"])
-        .groupBy("o_orderkey", "o_orderdate")
-        .agg(
-            F.round(
-                F.sum((F.col("l_extendedprice") * (1 - F.col("l_discount"))).cast("decimal(18,6)")), 2
-            ).cast("double").alias("revenue")
-        )
+        rev.join(o, "o_orderkey")
+        .select("o_orderkey", "o_orderdate", "revenue")
         .orderBy(F.desc("revenue"), F.asc("o_orderkey"))
         .limit(10)
     )

@@ -42,10 +42,29 @@ def get_spark(
     if local_dir is None and os.path.isdir("/dev/shm"):
         local_dir = "/dev/shm/spark-local"
 
+    try:
+        n_cores = int(cpus)
+    except ValueError:
+        n_cores = os.cpu_count() or 8
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # scan-parallelism FLOOR (optimization guide §6): the bench
+        # tables are a handful of parquet files, so the default
+        # 128 MB-split packing reads them with 1-3 tasks on a 32-core
+        # session (measured: sf0.1 lineitem = 3 splits, orders = 1) and
+        # every scan-bound query idles 90% of the machine.  Derived
+        # from the session's core count — scale-adaptive, not a local
+        # constant; at deployment scale bytes/128 MB exceeds the floor
+        # and this is a no-op.
+        .config("spark.sql.files.minPartitionNum", str(n_cores))
+        # the 4 MB default openCost floors split size at 4 MB, which
+        # caps a 25 MB table at ~6 tasks regardless of the floor above;
+        # 512 KB keeps small-file packing sane while letting
+        # bytes/n_cores set the split size (no-op at deployment scale)
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce post-shuffle partitions by SIZE, not default
@@ -54,6 +73,16 @@ def get_spark(
         # scale partitions stay at the advisory size either way
         .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # prefer shuffled-hash over sort-merge when the planner's size
+        # conditions fit (and let AQE demote an SMJ whose post-shuffle
+        # partitions are small): SMJ pays two full sorts that hash
+        # joins skip; both knobs only engage when the build side fits
+        # per-partition memory, so they are scale-safe, not local-mode
+        # tuning (optimization guide §3.1)
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "128m"
+        )
         .config("spark.sql.session.timeZone", "UTC")
         # iterative fixpoint plans (localCheckpoint over union-derived
         # frames) trip Catalyst's UnionBase.rewriteConstraints with
