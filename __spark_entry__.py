@@ -1704,7 +1704,11 @@ def kg_extract_documents(spark, sf_dir):
         (F.col("doc_id") % 4).cast("int"),
         (F.col("doc_id") % 6).cast("int"),
     )
-    corpus = docs.select(
+    from shacl_spark.functions.parallel import ensure_min_parallelism
+
+    # a one-row-group documents file scans as ONE task; the Arrow
+    # mention UDF is the expensive stage — spread it first (r06)
+    corpus = ensure_min_parallelism(docs).select(
         F.col("source").alias("repo"),
         F.concat(F.lit("doc/"), F.col("doc_id").cast("string"), F.lit(".py")).alias("path"),
         F.sha2(F.col("text"), 256).substr(1, 40).alias("commit"),

@@ -21,18 +21,33 @@ from shacl_spark.kg.minhash import candidate_pairs
 
 def entity_name_frame(triples: DataFrame) -> DataFrame:
     """Linkable entities: defined symbols (via kg:name literals) and
-    mention IRIs — DF[id, name]."""
-    named = triples.where(F.col("pred") == KG + "name").select(
-        F.col("subj").alias("id"), F.col("obj").alias("name")
+    mention IRIs — DF[id, name].
+
+    ONE scan emits both entity kinds via a when-array explode (r06,
+    VERDICT r05 #8): the old two-filter union scanned the triple frame
+    twice per consumer.  A row can satisfy both arms (a kg:name literal
+    that happens to start with the mention prefix) — both entries are
+    emitted, exactly as the union did, and the final dropDuplicates
+    keeps one row per id either way."""
+    arms = [
+        F.when(
+            F.col("pred") == KG + "name",
+            F.struct(F.col("subj").alias("id"), F.col("obj").alias("name")),
+        ),
+        F.when(
+            F.col("obj").startswith(KG + "mention/"),
+            F.struct(
+                F.col("obj").alias("id"),
+                F.substring_index(F.col("obj"), "/", -1).alias("name"),
+            ),
+        ),
+    ]
+    return (
+        triples.select(F.explode(F.array(*arms)).alias("e"))
+        .where(F.col("e").isNotNull())
+        .select(F.col("e.id").alias("id"), F.col("e.name").alias("name"))
+        .dropDuplicates(["id"])
     )
-    # no inner .distinct() on mentions: the final dropDuplicates(["id"])
-    # already dedups, and the extra shuffle of the (large) mention set
-    # cost ~1 s/pass at the bench corpus for nothing (r04)
-    mentions = triples.where(F.col("obj").startswith(KG + "mention/")).select(
-        F.col("obj").alias("id"),
-        F.substring_index(F.col("obj"), "/", -1).alias("name"),
-    )
-    return named.unionByName(mentions).dropDuplicates(["id"])
 
 
 def build_component_map(
@@ -67,9 +82,13 @@ def build_component_map(
     names = entity_name_frame(triples).localCheckpoint(eager=True)
     reps = names.groupBy("name").agg(F.min("id").alias("rep"))
     distinct_names = reps.select(F.col("rep").alias("id"), "name")
+    # materialize=False: connected_components checkpoints the scored
+    # pair pipeline one step later, so a separate pair checkpoint job
+    # here would be pure overhead; the bucket-cap Observation resolves
+    # against THAT materialization instead (r06)
     pairs = candidate_pairs(
         distinct_names, n_hashes=n_hashes, bands=bands, max_bucket=max_bucket,
-        stats=cc_stats,
+        stats=cc_stats, materialize=False,
     )
     matches = score_pairs(pairs, threshold=threshold)
     # the ITERATIVE algorithm runs only on the rep-level near-dup graph
@@ -81,6 +100,10 @@ def build_component_map(
         matches.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst")),
         stats=cc_stats,
     )
+    if cc_stats is not None:
+        from shacl_spark.kg.minhash import resolve_lsh_stats
+
+        resolve_lsh_stats(cc_stats)
     canon_of_name = reps.join(
         rep_comps, reps["rep"] == rep_comps["id"], "left"
     ).select(

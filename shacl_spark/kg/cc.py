@@ -75,18 +75,18 @@ def connected_components(
             stats["mode"] = "local-union-find"
             stats["nodes"], stats["edges"] = len(nodes), len(pairs)
         spark = edges.sparkSession
-        out = spark.createDataFrame(
-            rows, T.StructType([
-                T.StructField("id", T.StringType(), False),
-                T.StructField("component", T.StringType(), False),
-            ]),
+        # a single-slice parallelized collection: re-running this
+        # lineage is a trivial local-list scan, so the old
+        # repartition(1) + eager checkpoint (~0.4 s of shuffle +
+        # blocking job PER canonicalize call) bought nothing (r06)
+        schema = T.StructType([
+            T.StructField("id", T.StringType(), False),
+            T.StructField("component", T.StringType(), False),
+        ])
+        rdd = spark.sparkContext.parallelize(rows, 1) if rows else (
+            spark.sparkContext.emptyRDD()
         )
-        # a local result behaves like the distributed one downstream
-        # (joinable without recomputing this lineage).  repartition(1),
-        # NOT coalesce(1): checkpointing a coalesced parallelized
-        # collection pays a ~4 s pathological stall (measured), the
-        # 1-slice shuffle is ~0.4 s.
-        return out.repartition(1).localCheckpoint(eager=True)
+        return spark.createDataFrame(rdd, schema)
 
     if stats is not None:
         stats["mode"] = "distributed-label-propagation"

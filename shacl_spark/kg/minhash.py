@@ -157,9 +157,17 @@ def candidate_pairs(
     shingle_k: int = 3,
     max_bucket: int = 64,
     stats: dict | None = None,
+    materialize: bool = True,
 ) -> DataFrame:
     """LSH blocking: ids sharing any band bucket → candidate pairs
     DF[id_a, id_b, name_a, name_b] with id_a < id_b.
+
+    ``materialize=False`` returns the fully-lazy plan and defers the
+    bucket-cap Observation: the caller receives it in
+    ``stats['_lsh_obs']`` and must resolve it (see
+    :func:`resolve_lsh_stats`) after its own first action over the
+    pair frame — used by build_component_map, whose connected-
+    components stage materializes the pipeline one step later anyway.
 
     ``max_bucket`` caps degenerate buckets (hub surface forms): buckets
     larger than the cap are dropped rather than exploding quadratically.
@@ -170,7 +178,7 @@ def candidate_pairs(
     ``lsh_max_bucket_seen`` — measured by ``observe()`` on the same
     single pass that the cap filter runs in (zero extra jobs).
     """
-    from pyspark.sql import Observation, Window as W
+    from pyspark.sql import Observation
 
     rows = n_hashes // bands
     sig = (
@@ -185,53 +193,76 @@ def candidate_pairs(
             F.posexplode(band_hashes(F.col("sig"), bands, rows)).alias("band_id", "band_hash"),
         )
     )
-    # drop degenerate buckets before the self-join (quadratic blowup
-    # guard).  A window count over the SAME keys replaces the old
-    # groupBy + semi-join (one shuffle instead of two over the exploded
-    # frame), and the eager checkpoint (a) runs the pandas-UDF minhash
-    # ONCE instead of once per self-join side and (b) leaves the frame
-    # hash-partitioned on (band_id, band_hash), which is exactly the
-    # self-join key — no further exchange (r04 perf pass).
+    # ONE groupBy shuffle builds the bucket member arrays; in-bucket
+    # pairs are expanded with JVM array expressions (r06).  The old
+    # shape — window count + eager checkpoint + bucket self-join —
+    # paid a sort on the window, a blocking checkpoint job, and a
+    # second pass over the exploded frame; the bucket arrays are
+    # bounded by ``max_bucket``, so the expansion is at most
+    # cap·(cap−1)/2 pairs per bucket and the pair SET is identical.
+    # The cap stays observable on the same single pass (SURVEY.md §7
+    # "no silent truncation").
     dropped = F.col("bn") > max_bucket
     obs = Observation("lsh_bucket_cap")
-    sig = (
-        sig.withColumn(
-            "bn", F.count("*").over(W.partitionBy("band_id", "band_hash"))
-        )
+    buckets = (
+        sig.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(F.struct("id", "name")).alias("bs"))
+        .withColumn("bn", F.size("bs"))
         .observe(
             obs,
-            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
-            # each over-cap bucket contributes bn rows each weighted
-            # 1/bn — sums to exactly one per bucket (observe() forbids
-            # DISTINCT aggregates, so count_distinct is unavailable)
-            F.sum(F.when(dropped, 1.0 / F.col("bn")).otherwise(0.0)).alias(
-                "dropped_buckets"
-            ),
+            F.sum(F.when(dropped, F.col("bn")).otherwise(0)).alias("dropped_rows"),
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_buckets"),
             F.max("bn").alias("max_bucket_seen"),
         )
         .where(~dropped)
-        .drop("bn")
-        .localCheckpoint(eager=True)
     )
-    if stats is not None:
-        got = obs.get  # the eager checkpoint above already ran the job
-        stats["lsh_dropped_rows"] = int(got["dropped_rows"] or 0)
-        stats["lsh_dropped_buckets"] = int(round(got["dropped_buckets"] or 0.0))
-        stats["lsh_max_bucket_seen"] = int(got["max_bucket_seen"] or 0)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
-            "inner",
+    bs = F.col("bs")
+    pair_arr = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + 2, F.greatest(F.size(bs), F.lit(1))),
+                lambda y: F.when(
+                    x["id"] < y["id"], F.struct(x.alias("a"), y.alias("b"))
+                ).otherwise(F.struct(y.alias("a"), x.alias("b"))),
+            ),
         )
+    )
+    out = (
+        buckets.select(F.explode(pair_arr).alias("p"))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
-            F.col("a.name").alias("name_a"),
-            F.col("b.name").alias("name_b"),
+            F.col("p.a.id").alias("id_a"),
+            F.col("p.b.id").alias("id_b"),
+            F.col("p.a.name").alias("name_a"),
+            F.col("p.b.name").alias("name_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
+    if not materialize:
+        if stats is not None:
+            stats["_lsh_obs"] = obs
+        return out
+    # materialize the (tiny) PAIR frame: one job resolves the
+    # Observation synchronously for the stats contract below AND hands
+    # downstream consumers (scorer, connected components — both
+    # traverse the pairs at least twice) a cached frame instead of a
+    # re-run of the Arrow minhash pipeline
+    out = out.localCheckpoint(eager=True)
+    if stats is not None:
+        stats["_lsh_obs"] = obs
+        resolve_lsh_stats(stats)
+    return out
+
+
+def resolve_lsh_stats(stats: dict) -> None:
+    """Read the bucket-cap Observation into the plain stat keys.  Must
+    run after an action has executed the observed plan (the eager pair
+    checkpoint above, or the caller's own materialization when
+    ``materialize=False``)."""
+    obs = stats.pop("_lsh_obs", None)
+    if obs is None:
+        return
+    got = obs.get
+    stats["lsh_dropped_rows"] = int(got["dropped_rows"] or 0)
+    stats["lsh_dropped_buckets"] = int(got["dropped_buckets"] or 0)
+    stats["lsh_max_bucket_seen"] = int(got["max_bucket_seen"] or 0)

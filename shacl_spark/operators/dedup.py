@@ -90,11 +90,15 @@ def minhash_lsh_pairs(
     receives the bucket-cap drop counters (``lsh_dropped_rows`` /
     ``lsh_dropped_buckets`` / ``lsh_max_bucket_seen``) — the cap is
     never a silent truncation (SURVEY.md §7)."""
+    from shacl_spark.functions.parallel import ensure_min_parallelism
     from shacl_spark.kg.minhash import minhash_signature_from_words
 
     rows = n_hashes // bands
+    # the word-hash + Arrow-minhash stage is the expensive per-row work;
+    # a one-row-group parquet corpus would otherwise run it on ONE task
+    src = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col)))
     sig = (
-        df.select(
+        src.select(
             F.col(id_col).alias("id"),
             word_hashes(F.col(text_col)).alias("wh"),
         )
@@ -107,46 +111,56 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    # window-count bucket cap on ONE shuffle (not groupBy + semi-join),
-    # and an eager checkpoint so the Arrow minhash stage runs once and
-    # both self-join sides reuse the (band_id, band_hash) partitioning
-    # (r04, same pass as kg/minhash.candidate_pairs)
-    from pyspark.sql import Observation, Window as W
+    # ONE groupBy shuffle builds bucket member arrays; in-bucket pairs
+    # expand with JVM array expressions (r06 — same reshape as
+    # kg/minhash.candidate_pairs): the old window-count + eager
+    # checkpoint + bucket self-join paid a window sort, a blocking
+    # checkpoint job and a second pass over the exploded frame.  The
+    # bucket arrays are bounded by ``max_bucket``; the pair SET is
+    # identical, and without a checkpoint the whole computation is a
+    # single lazy plan (a consumer's count is ONE job).
+    from pyspark.sql import Observation
 
-    dropped = F.col("n") > max_bucket
+    dropped = F.col("bn") > max_bucket
     obs = Observation("lsh_bucket_cap")
-    sig = (
-        sig.withColumn(
-            "n", F.count("*").over(W.partitionBy("band_id", "band_hash"))
-        )
+    buckets = (
+        sig.groupBy("band_id", "band_hash")
+        .agg(F.collect_list("id").alias("bs"))
+        .withColumn("bn", F.size("bs"))
         .observe(
             obs,
-            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_rows"),
-            F.sum(F.when(dropped, 1.0 / F.col("n")).otherwise(0.0)).alias(
-                "dropped_buckets"
-            ),
-            F.max("n").alias("max_bucket_seen"),
+            F.sum(F.when(dropped, F.col("bn")).otherwise(0)).alias("dropped_rows"),
+            F.sum(F.when(dropped, 1).otherwise(0)).alias("dropped_buckets"),
+            F.max("bn").alias("max_bucket_seen"),
         )
         .where(~dropped)
-        .drop("n")
-        .localCheckpoint(eager=True)
     )
-    if stats is not None:
-        got = obs.get
-        stats["lsh_dropped_rows"] = int(got["dropped_rows"] or 0)
-        stats["lsh_dropped_buckets"] = int(round(got["dropped_buckets"] or 0.0))
-        stats["lsh_max_bucket_seen"] = int(got["max_bucket_seen"] or 0)
-    a, b = sig.alias("a"), sig.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band_id") == F.col("b.band_id"))
-            & (F.col("a.band_hash") == F.col("b.band_hash"))
-            & (F.col("a.id") < F.col("b.id")),
+    bs = F.col("bs")
+    pair_arr = F.flatten(
+        F.transform(
+            bs,
+            lambda x, i: F.transform(
+                F.slice(bs, i + 2, F.greatest(F.size(bs), F.lit(1))),
+                lambda y: F.when(
+                    x < y, F.struct(x.alias("a"), y.alias("b"))
+                ).otherwise(F.struct(y.alias("a"), x.alias("b"))),
+            ),
         )
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+    )
+    out = (
+        buckets.select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.a").alias("id_a"), F.col("p.b").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
     )
+    if stats is not None:
+        # resolving the Observation needs an action: materialize the
+        # (small) pair frame once; stats-less callers stay fully lazy
+        out = out.localCheckpoint(eager=True)
+        got = obs.get
+        stats["lsh_dropped_rows"] = int(got["dropped_rows"] or 0)
+        stats["lsh_dropped_buckets"] = int(got["dropped_buckets"] or 0)
+        stats["lsh_max_bucket_seen"] = int(got["max_bucket_seen"] or 0)
+    return out
 
 
 def simhash(text: Column, bits: int = 64) -> Column:
@@ -207,8 +221,10 @@ def simhash_dedup_pairs(
         bands = max(2, max_hamming + 1)
     if bands <= max_hamming:
         raise ValueError("bands must exceed max_hamming for full recall")
+    from shacl_spark.functions.parallel import ensure_min_parallelism
+
     width = 64 // bands
-    s = df.select(
+    s = ensure_min_parallelism(df.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), simhash(F.col(text_col)).alias("sh")
     )
     # last band absorbs the remainder bits when bands doesn't divide 64
@@ -255,7 +271,9 @@ def ngram_jaccard_pairs(
     """Verification stage: exact word-n-gram Jaccard for candidate
     pairs.  Two joins to attach shingle arrays, then JVM-side set ops
     (array_intersect/array_union) — no Python."""
-    sh = docs.select(
+    from shacl_spark.functions.parallel import ensure_min_parallelism
+
+    sh = ensure_min_parallelism(docs.select(F.col(id_col), F.col(text_col))).select(
         F.col(id_col).alias("id"), word_shingles(F.col(text_col), n).alias("sh")
     )
     out = (
