@@ -350,16 +350,23 @@ def embedding_dedup_pairs(
     """Cosine near-dup pairs over an embedding column.  Blocks on a
     random-hyperplane LSH sign bucket (deterministic planes) so the
     self-join is per-bucket, then verifies exact cosine ≥ threshold."""
+    from shacl_spark.functions.vectors import dot, l2_norm
     from shacl_spark.operators.similarity import hyperplane_bucket
 
+    # norm precomputed once per vector (r06): same expressions in the
+    # same order as cosine_similarity, so values are bit-identical, but
+    # each side of a bucket self-join pair no longer recomputes it
     e = emb.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
+        l2_norm(F.col(vec_col)).alias("n"),
     ).withColumn("blk", hyperplane_bucket(F.col("v"), n_planes=block_planes))
     a, b = e.alias("a"), e.alias("b")
     return (
         a.join(b, (F.col("a.blk") == F.col("b.blk")) & (F.col("a.id") < F.col("b.id")))
-        .withColumn("cos", cosine_similarity(F.col("a.v"), F.col("b.v")))
+        .withColumn(
+            "cos", dot(F.col("a.v"), F.col("b.v")) / (F.col("a.n") * F.col("b.n"))
+        )
         .where(F.col("cos") >= threshold)
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("cos").alias("cosine"))
     )

@@ -19,7 +19,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import Window as W
 
-from shacl_spark.functions.vectors import cosine_similarity, dot
+from shacl_spark.functions.vectors import cosine_similarity, dot, l2_norm
 
 
 def _planes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
@@ -58,11 +58,23 @@ def brute_force_topk(
     score all data rows, per-query ranking window.
 
     DF[query_id, vec_id, cosine, rank]."""
+    # norms are precomputed ONCE per row/query instead of per scored
+    # pair (r06): cosine = dot/(dn·qn) evaluates the same expressions
+    # in the same order, so values are bit-identical, but the k-way
+    # fan-out no longer recomputes each side's norm k times
     q = F.broadcast(
-        queries.select(F.col(query_id), F.col(vec_col).alias("qv"))
+        queries.select(
+            F.col(query_id), F.col(vec_col).alias("qv"),
+            l2_norm(F.col(vec_col)).alias("qn"),
+        )
     )
-    scored = data.select(F.col(id_col), F.col(vec_col).alias("dv")).crossJoin(q)
-    scored = scored.withColumn("cosine", cosine_similarity(F.col("dv"), F.col("qv")))
+    scored = data.select(
+        F.col(id_col), F.col(vec_col).alias("dv"),
+        l2_norm(F.col(vec_col)).alias("dn"),
+    ).crossJoin(q)
+    scored = scored.withColumn(
+        "cosine", dot(F.col("dv"), F.col("qv")) / (F.col("dn") * F.col("qn"))
+    )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -87,13 +99,18 @@ def lsh_topk(
     n_planes one-bit-flip neighbor buckets (recall boost at small cost).
     The scale path: data is hash-partitioned by bucket; per-bucket
     candidate sets are tiny fractions of the corpus."""
-    d = data.select(
-        F.col(id_col), F.col(vec_col).alias("dv")
-    ).withColumn("bucket", hyperplane_bucket(F.col("dv"), n_planes, dim))
-
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv")).withColumn(
-        "qbucket", hyperplane_bucket(F.col("qv"), n_planes, dim)
+    d = (
+        data.select(
+            F.col(id_col), F.col(vec_col).alias("dv"),
+            l2_norm(F.col(vec_col)).alias("dn"),
+        )
+        .withColumn("bucket", hyperplane_bucket(F.col("dv"), n_planes, dim))
     )
+
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    ).withColumn("qbucket", hyperplane_bucket(F.col("qv"), n_planes, dim))
     if multiprobe:
         probes = F.array(
             F.col("qbucket"),
@@ -103,8 +120,10 @@ def lsh_topk(
     else:
         q = q.withColumn("bucket", F.col("qbucket"))
 
-    scored = d.join(F.broadcast(q.select(query_id, "qv", "bucket")), "bucket")
-    scored = scored.withColumn("cosine", cosine_similarity(F.col("dv"), F.col("qv")))
+    scored = d.join(F.broadcast(q.select(query_id, "qv", "qn", "bucket")), "bucket")
+    scored = scored.withColumn(
+        "cosine", dot(F.col("dv"), F.col("qv")) / (F.col("dn") * F.col("qn"))
+    )
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
@@ -182,14 +201,18 @@ def ivf_topk(
         return F.slice(F.transform(ranked, lambda s: s["j"]), 1, top_n)
 
     d = data.select(
-        F.col(id_col), F.col(vec_col).alias("dv")
+        F.col(id_col), F.col(vec_col).alias("dv"),
+        l2_norm(F.col(vec_col)).alias("dn"),
     ).withColumn("cell", cell_of(F.col("dv"), 1)[0])
 
-    q = queries.select(F.col(query_id), F.col(vec_col).alias("qv")).withColumn(
-        "cell", F.explode(cell_of(F.col("qv"), nprobe))
+    q = queries.select(
+        F.col(query_id), F.col(vec_col).alias("qv"),
+        l2_norm(F.col(vec_col)).alias("qn"),
+    ).withColumn("cell", F.explode(cell_of(F.col("qv"), nprobe)))
+    scored = d.join(F.broadcast(q.select(query_id, "qv", "qn", "cell")), "cell")
+    scored = scored.withColumn(
+        "cosine", dot(F.col("dv"), F.col("qv")) / (F.col("dn") * F.col("qn"))
     )
-    scored = d.join(F.broadcast(q.select(query_id, "qv", "cell")), "cell")
-    scored = scored.withColumn("cosine", cosine_similarity(F.col("dv"), F.col("qv")))
     w = W.partitionBy(query_id).orderBy(F.desc("cosine"), F.asc(id_col))
     return (
         scored.withColumn("rank", F.row_number().over(w))
