@@ -465,6 +465,50 @@ class _LocalEdges:
         for r in rows:
             self._apply(r[0], r[1], r[2], r[3], fp, 1)
 
+    @classmethod
+    def from_columns(cls, subs, preds, objs, kinds, fp: Footprint) -> "_LocalEdges":
+        """Bulk columnar load (r06): the per-Row ``_apply`` path spent
+        ~1 s per 150k edges on Row field access and per-row membership
+        tests; here the pred-set membership is hoisted to one lookup
+        per DISTINCT predicate and the columns are plain Python lists
+        straight out of an Arrow collect."""
+        self = cls((), fp)
+        flags = {
+            p: (
+                p in fp.fwd_preds, p in fp.rec_fwd,
+                p in fp.inv_preds, p in fp.rec_inv,
+            )
+            for p in set(preds)
+        }
+        dep, rdep, cdep, crdep = self.dep, self.rdep, self.cdep, self.crdep
+        n = 0
+        for s, p, o, k in zip(subs, preds, objs, kinds):
+            fw, rf, iv, ri = flags[p]
+            resource = k == "iri" or k == "bnode"
+            hit = False
+            if fw and resource:
+                dep[o].append(s)
+                cdep[s].append(o)
+                hit = True
+            if rf and resource:
+                rdep[o].append(s)
+                crdep[s].append(o)
+                hit = True
+            if iv:
+                if resource:
+                    dep[s].append(o)
+                cdep[o].append(s)
+                hit = True
+            if ri:
+                if resource:
+                    rdep[s].append(o)
+                crdep[o].append(s)
+                hit = True
+            if hit:
+                n += 1
+        self.n_rows = n
+        return self
+
     def _upd(self, adj, key: str, val: str, sign: int) -> None:
         if sign > 0:
             adj[key].append(val)
@@ -548,9 +592,20 @@ def collect_local_edges(
     ef = triples.where(F.col("pred").isin(*sorted(all_rel)) & keep).select(
         "subj", "pred", "obj", "obj_kind"
     )
-    if ef.limit(cap + 1).count() > cap:
+    # ONE Arrow-collect job both enforces the cap (limit cap+1 — exactly
+    # cap+1 rows proves overflow) and lands the edges columnar: the old
+    # count-then-collect pair paid a second job AND pickled-Row
+    # deserialization, ~3 s per cold build at 150k edges vs ~0.6 s now
+    tbl = ef.limit(cap + 1).toArrow()
+    if tbl.num_rows > cap:
         return None
-    return _LocalEdges(ef.collect(), fp)
+    return _LocalEdges.from_columns(
+        tbl.column("subj").to_pylist(),
+        tbl.column("pred").to_pylist(),
+        tbl.column("obj").to_pylist(),
+        tbl.column("obj_kind").to_pylist(),
+        fp,
+    )
 
 
 
@@ -586,23 +641,19 @@ def _ctx_edges(triples: DataFrame, fwd: set[str], inv: set[str]) -> DataFrame | 
     )
 
 
-def _restricted_triples(
+def _restricted_filter(
     spark: SparkSession,
     triples: DataFrame,
     ctx_ids: set[str],
     fp: Footprint,
-    n_parts: int = 4,
 ) -> DataFrame:
-    """The slice of the graph a validation of focus nodes ⊆ ``ctx_ids``
-    can read: every triple OF a context node (targets, paths, closed,
-    rdf:type), inbound triples over inversely-used / targetObjectsOf
-    predicates, and the (globally tiny) subClassOf hierarchy.  One scan
-    with two broadcast membership joins (measured 0.8 s vs 27 s for an
-    ``isin`` literal list at |ctx|=1.6k — Catalyst re-analyzes thousands
-    of literal nodes per action); the result is checkpointed at
-    ``n_parts`` partitions so every downstream validation stage runs a
-    handful of tasks instead of |graph|-sized scans — this is where the
-    1x incremental win comes from."""
+    """LAZY slice of the graph a validation of focus nodes ⊆
+    ``ctx_ids`` can read: every triple OF a context node (targets,
+    paths, closed, rdf:type), inbound triples over inversely-used /
+    targetObjectsOf predicates, and the (globally tiny) subClassOf
+    hierarchy.  One scan with two broadcast membership joins (measured
+    0.8 s vs 27 s for an ``isin`` literal list at |ctx|=1.6k —
+    Catalyst re-analyzes thousands of literal nodes per action)."""
     idf = spark.createDataFrame([(x,) for x in sorted(ctx_ids)], "id string")
     inv_like = fp.inv_preds | fp.rec_inv | fp.tobj_preds
     marked = triples.join(
@@ -626,7 +677,21 @@ def _restricted_triples(
             F.col("pred").isin(*sorted(inv_like)) & F.col("__mo").isNotNull()
         )
         drop.append("__mo")
-    out = marked.where(keep).drop(*drop).select(*triples.columns)
+    return marked.where(keep).drop(*drop).select(*triples.columns)
+
+
+def _restricted_triples(
+    spark: SparkSession,
+    triples: DataFrame,
+    ctx_ids: set[str],
+    fp: Footprint,
+    n_parts: int = 4,
+) -> DataFrame:
+    """Materialized restricted slice: checkpointed at ``n_parts``
+    partitions so every downstream validation stage runs a handful of
+    tasks instead of |graph|-sized scans — this is where the 1x
+    incremental win comes from."""
+    out = _restricted_filter(spark, triples, ctx_ids, fp)
     return out.repartition(n_parts).localCheckpoint(eager=True)
 
 
@@ -756,6 +821,7 @@ def incremental_revalidate(
     # is only taken when no sparql constraint is present; the affected
     # restriction alone is still sound either way.
     v_triples = triples
+    slice_rows = None
     if not fp.has_sparql:
         ctx_seeds = set(acc) | {
             r["obj"] for r in ch_rows  # changed objects can be focus
@@ -771,15 +837,30 @@ def incremental_revalidate(
                 spark, ctx_seeds, cdep, crdep, fp.depth, max_affected
             )
         if ctx is not None:
-            v_triples = _restricted_triples(spark, triples, ctx, fp)
             stats["context_nodes"] = len(ctx)
+            if local_max_rows:
+                # ONE Arrow-collect job both bounds the slice (limit
+                # cap+1) and lands it columnar for the interpreter —
+                # the old shape paid checkpoint + count + pickled-Row
+                # collect, three jobs, for the same rows (r06)
+                six = ["subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"]
+                tbl = (
+                    _restricted_filter(spark, triples, ctx, fp)
+                    .select(*six)
+                    .limit(local_max_rows + 1)
+                    .toArrow()
+                )
+                if tbl.num_rows <= local_max_rows:
+                    stats["slice_rows"] = tbl.num_rows
+                    slice_rows = list(
+                        zip(*(tbl.column(c).to_pylist() for c in six))
+                    )
+            if slice_rows is None:
+                v_triples = _restricted_triples(spark, triples, ctx, fp)
         # ctx None (cap hit on the context side only): validate the
         # affected set against the FULL graph — still incremental
 
-    if v_triples is not triples and local_max_rows:
-        n_slice = v_triples.count()  # checkpointed — metadata-cheap
-        stats["slice_rows"] = n_slice
-        if n_slice <= local_max_rows:
+    if slice_rows is not None:
             # LOCAL fast path: the slice fits on the driver; a Python
             # interpreter walk costs milliseconds where the distributed
             # Validator pays seconds of Catalyst plan-build + task
@@ -788,9 +869,6 @@ def incremental_revalidate(
             from shacl_spark.shacl.engine import REPORT_OUT_SCHEMA
             from shacl_spark.shacl.interp import Oracle
 
-            slice_rows = v_triples.select(
-                "subj", "pred", "obj", "obj_kind", "obj_dt", "obj_lang"
-            ).collect()
             results = Oracle(slice_rows, shapes).validate(only_keys=aff_keys)
             stats["mode"] = "incremental_local"
             new_rows = spark.createDataFrame(

@@ -251,6 +251,18 @@ class StreamingValidator:
             from shacl_spark.shacl import validate
 
             report = validate(self.spark, cur, self.shapes, assume_distinct=True)
+            # warm the footprint-edge cache NOW (r06): the seed batch
+            # is the natural place to pay the one bounded edge collect,
+            # so the first CDC batch already runs in the steady state
+            # instead of collecting the full-graph adjacency cold
+            from shacl_spark.shacl.incremental import (
+                collect_local_edges,
+                shapes_footprint,
+            )
+
+            self._edges = collect_local_edges(
+                cur, shapes_footprint(self.shapes), self._edge_cap
+            )
         else:
             st: dict = {}
             report = incremental_revalidate(

@@ -138,9 +138,10 @@ def test_edge_cache_steady_state(spark, tmp_path):
         _run(spark, sv, stream_dir)
     finally:
         vs_mod.incremental_revalidate = inc_mod.incremental_revalidate = orig
-    # batch1 = first-batch full validate (no incremental call);
-    # batch2 collects; batch3 reuses the maintained adjacency
-    assert modes == ["collected", "cached"]
+    # batch1 = first-batch full validate (no incremental call) which
+    # WARMS the edge cache (r06); batch2 and batch3 both reuse the
+    # maintained adjacency — no cold per-batch edge collect at all
+    assert modes == ["cached", "cached"]
     assert sv._edges is not None and not sv._edges.dirty
     full = validate(spark, triples_from_rows(spark, BATCH1 + BATCH2 + b3), SHAPES)
     assert _canon(sv.current_report()) == _canon(full)
