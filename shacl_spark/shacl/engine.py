@@ -172,9 +172,14 @@ class Validator:
     # --- infrastructure ------------------------------------------------------
 
     @property
-    def closure(self) -> DataFrame:
+    def closure(self):
+        """Driver-side direct-subs map when the ontology fits (one tiny
+        collect; the common case), else the distributed closure frame."""
         if self._closure is None:
-            self._closure = subclass_closure(self.t)
+            from shacl_spark.shacl.targets import subclass_closure_map
+
+            m = subclass_closure_map(self.t)
+            self._closure = m if m is not None else subclass_closure(self.t)
         return self._closure
 
     def _empty(self) -> DataFrame:

@@ -75,9 +75,80 @@ def subclass_closure(triples: DataFrame) -> DataFrame:
     return iterate_to_fixpoint(reflexive, step, key_cols=["sub", "sup"])
 
 
-def instances_of(triples: DataFrame, closure: DataFrame, class_iri: str) -> DataFrame:
+def subclass_closure_map(
+    triples: DataFrame, max_schema_rows: int = 1_000_000
+) -> dict[str, set[str]] | None:
+    """DRIVER-side subclass hierarchy: super → direct subs, collected
+    from the (ontology-sized) subClassOf edge list (r06 — the same
+    schema-is-small assumption entailment.py makes).  Returns None when
+    the edge list exceeds the cap; callers then fall back to the
+    distributed :func:`subclass_closure` frame.  With the map in hand,
+    target/class instance selection becomes a literal ``isin`` filter —
+    no classes-universe distinct, no closure fixpoint, no broadcast
+    join materializations (profiled r06: those were ~a dozen separate
+    AQE jobs per validation)."""
+    from collections import defaultdict
+
+    rows = (
+        triples.where(F.col("pred") == RDFS_SUBCLASSOF)
+        .select("subj", "obj")
+        .limit(max_schema_rows + 1)
+        .collect()
+    )
+    if len(rows) > max_schema_rows:
+        return None
+    down: dict[str, set[str]] = defaultdict(set)
+    for r in rows:
+        down[r[1]].add(r[0])
+    return dict(down)
+
+
+def subtypes_of(down: dict[str, set[str]], classes) -> set[str]:
+    """``classes`` plus every transitive subclass (cycle-safe)."""
+    out = set(classes)
+    frontier = list(classes)
+    while frontier:
+        c = frontier.pop()
+        for s in down.get(c, ()):
+            if s not in out:
+                out.add(s)
+                frontier.append(s)
+    return out
+
+
+def _typed_nodes(triples: DataFrame, subtypes: set[str]) -> DataFrame:
+    """Distinct subjects with rdf:type in ``subtypes`` (driver list).
+    Small lists inline as a literal isin; large ones broadcast-join a
+    parallelized frame (thousands of isin literals choke Catalyst
+    re-analysis — measured in shacl/incremental.py)."""
+    typed = triples.where(F.col("pred") == RDF_TYPE)
+    subs = sorted(subtypes)
+    if len(subs) <= 256:
+        hits = typed.where(F.col("obj").isin(subs)) if subs else typed.limit(0)
+    else:
+        sdf = triples.sparkSession.createDataFrame(
+            [(s,) for s in subs], "sub string"
+        )
+        hits = typed.join(F.broadcast(sdf), F.col("obj") == F.col("sub"), "inner")
+    return (
+        hits.select(F.col("subj").alias("node"))
+        .distinct()
+        .select(
+            "node",
+            subject_kind_col(F.col("node")).alias("kind"),
+            F.lit(None).cast("string").alias("dt"),
+            F.lit(None).cast("string").alias("lang"),
+        )
+    )
+
+
+def instances_of(triples: DataFrame, closure, class_iri: str) -> DataFrame:
     """SHACL instances of ``class_iri``: nodes with rdf:type T where
-    T subClassOf* class_iri.  Broadcast the (small) closure slice."""
+    T subClassOf* class_iri.  ``closure`` is either the driver-side
+    direct-subs map (literal filter, no join) or the distributed
+    closure frame (broadcast the small slice)."""
+    if isinstance(closure, dict):
+        return _typed_nodes(triples, subtypes_of(closure, [class_iri]))
     subtypes = closure.where(F.col("sup") == class_iri).select("sub")
     return (
         triples.where(F.col("pred") == RDF_TYPE)
@@ -105,22 +176,28 @@ def focus_nodes(
     if shape.implicit_class_target:
         classes.append(shape.iri)
     if classes:
-        # one type-scan + one broadcast join for ALL target classes
-        # (a shape with k targetClass declarations would otherwise scan
-        # the rdf:type slice k times and dedup k frames)
-        subtypes = closure.where(F.col("sup").isin(classes)).select("sub").distinct()
-        frames.append(
-            triples.where(F.col("pred") == RDF_TYPE)
-            .join(F.broadcast(subtypes), F.col("obj") == F.col("sub"), "inner")
-            .select(F.col("subj").alias("node"))
-            .distinct()
-            .select(
-                "node",
-                subject_kind_col(F.col("node")).alias("kind"),
-                F.lit(None).cast("string").alias("dt"),
-                F.lit(None).cast("string").alias("lang"),
+        # one type-scan for ALL target classes (a shape with k
+        # targetClass declarations would otherwise scan the rdf:type
+        # slice k times and dedup k frames); with a driver-side closure
+        # map the subtype set inlines as a literal filter — no join
+        if isinstance(closure, dict):
+            frames.append(_typed_nodes(triples, subtypes_of(closure, classes)))
+        else:
+            subtypes = (
+                closure.where(F.col("sup").isin(classes)).select("sub").distinct()
             )
-        )
+            frames.append(
+                triples.where(F.col("pred") == RDF_TYPE)
+                .join(F.broadcast(subtypes), F.col("obj") == F.col("sub"), "inner")
+                .select(F.col("subj").alias("node"))
+                .distinct()
+                .select(
+                    "node",
+                    subject_kind_col(F.col("node")).alias("kind"),
+                    F.lit(None).cast("string").alias("dt"),
+                    F.lit(None).cast("string").alias("lang"),
+                )
+            )
 
     for p in shape.target_subjects_of:
         frames.append(
