@@ -65,6 +65,11 @@ def get_spark(
         # 512 KB keeps small-file packing sane while letting
         # bytes/n_cores set the split size (no-op at deployment scale)
         .config("spark.sql.files.openCostInBytes", str(512 * 1024))
+        # limit/take probes start at ONE partition and re-run the scan
+        # with 4x scale-up until satisfied; bounded collects over
+        # selective filters (incremental slices, cap probes) pay that
+        # re-scan several times — start full-width instead
+        .config("spark.sql.limit.initialNumPartitions", str(n_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         # coalesce post-shuffle partitions by SIZE, not default

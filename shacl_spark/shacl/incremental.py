@@ -592,13 +592,14 @@ def collect_local_edges(
     ef = triples.where(F.col("pred").isin(*sorted(all_rel)) & keep).select(
         "subj", "pred", "obj", "obj_kind"
     )
-    # ONE Arrow-collect job both enforces the cap (limit cap+1 — exactly
-    # cap+1 rows proves overflow) and lands the edges columnar: the old
-    # count-then-collect pair paid a second job AND pickled-Row
-    # deserialization, ~3 s per cold build at 150k edges vs ~0.6 s now
-    tbl = ef.limit(cap + 1).toArrow()
-    if tbl.num_rows > cap:
+    # cheap full-parallel count gates the cap BEFORE any driver
+    # materialization (a limit(cap+1) Arrow collect would ship cap rows
+    # to the driver just to discover overflow — measured 1.5 s wasted
+    # per 10x-corpus revalidation); under the cap, ONE Arrow collect
+    # lands the edges columnar (pickled-Row collect was ~3 s at 150k)
+    if ef.count() > cap:
         return None
+    tbl = ef.toArrow()
     return _LocalEdges.from_columns(
         tbl.column("subj").to_pylist(),
         tbl.column("pred").to_pylist(),
