@@ -89,30 +89,45 @@ JS_COMBINED_RE = re.compile(
 )
 
 
+def _group_dispatch(rx: re.Pattern) -> tuple[int, int, int, int]:
+    """(cls, base, fn, call) group indices of a combined regex."""
+    gi = rx.groupindex
+    return gi["cls"], gi["base"], gi["fn"], gi["call"]
+
+
 def _extract_one(text: str, rx: re.Pattern, kws: frozenset) -> list[tuple]:
     """One linear scan; call sites deduped and filtered against this
     file's own defs + keywords (same semantics as the per-pattern spec).
-    Dispatch checks groups by name — lastgroup would report the optional
-    'base' group for class matches."""
+
+    Dispatch is on ``m.lastindex`` — the highest participating group —
+    which costs ONE C attribute read per match instead of 4-5 named
+    ``group()`` probes (r06: the dispatch was ~a third of the UDF's
+    Python time).  Group semantics are unchanged: a class WITH a
+    parenthesized base (possibly empty) participates in ``base`` so
+    lastindex lands there; a bare ``class X:`` stops at ``cls`` and
+    keeps base=None, exactly as the named probes returned."""
+    i_cls, i_base, i_fn, i_call = _group_dispatch(rx)
     ms: list[tuple] = []
     defined: set[str] = set()
     calls: list[str] = []
     for m in rx.finditer(text):
-        if m.group("call") is not None:
-            calls.append(m.group("call"))
-        elif m.group("cls") is not None:
-            ms.append(("class", m.group("cls"), m.group("base")))
-            defined.add(m.group("cls"))
-        elif m.group("fn") is not None:
-            ms.append(("func", m.group("fn"), None))
-            defined.add(m.group("fn"))
-        elif m.group("imp") is not None:
-            ms.append(("import", m.group("imp"), None))
-        else:  # frm / req
-            name = m.group("frm") if "frm" in rx.groupindex else None
-            if name is None:
-                name = m.group("req")
-            ms.append(("import", name, None))
+        li = m.lastindex
+        if li == i_call:
+            calls.append(m.group(li))
+        elif li == i_base:
+            name = m.group(i_cls)
+            ms.append(("class", name, m.group(i_base)))
+            defined.add(name)
+        elif li == i_cls:
+            name = m.group(i_cls)
+            ms.append(("class", name, None))
+            defined.add(name)
+        elif li == i_fn:
+            name = m.group(i_fn)
+            ms.append(("func", name, None))
+            defined.add(name)
+        else:  # imp / frm / req — all emit an import mention
+            ms.append(("import", m.group(li), None))
     seen: set[str] = set()
     for c in calls:
         if c not in kws and c not in defined and c not in seen:
