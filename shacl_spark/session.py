@@ -72,11 +72,15 @@ def get_spark(
         .config("spark.sql.limit.initialNumPartitions", str(n_cores))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # coalesce post-shuffle partitions by SIZE, not default
-        # parallelism: multi-stage plans over modest inputs (validation)
-        # otherwise schedule full-width reduce stages per exchange; at
-        # scale partitions stay at the advisory size either way
-        .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+        # AQE partition coalescing runs at the DEFAULT
+        # parallelismFirst=true: an earlier r06 session set it false to
+        # collapse the many near-empty reduce stages validation then
+        # scheduled, but after the engine restructuring (one up-front
+        # subj partitioning, driver-side closure) that rationale is
+        # gone and size-first coalescing serialized every medium
+        # aggregation instead — a 45 MB post-shuffle stage (1.5M-group
+        # revenue agg) coalesced to ONE task, 3.4× slower (measured;
+        # validation itself is now ~15% FASTER at the default too)
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         # prefer shuffled-hash over sort-merge when the planner's size
         # conditions fit (and let AQE demote an SMJ whose post-shuffle
