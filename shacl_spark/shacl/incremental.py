@@ -442,136 +442,243 @@ def _expand_local(
 
 
 class _LocalEdges:
-    """Driver-side adjacency maps over the footprint-predicate edge
-    rows (r05): ONE scan + ONE bounded collect replaces the per-hop
-    broadcast-join jobs — at CDC delta rates the expansion cost was
-    ~10 scheduled jobs per revalidation, all walking the same edges.
-    The same collected rows serve BOTH expansion directions (dependency
-    a←b and validation-context a→b), so dep + ctx expansion together
-    cost two Spark jobs total (count + collect).  Falls back to the
-    Spark hops (``collect_local_edges`` returns None) above ``cap``
-    edge rows — the 100 TB posture: driver assists are bounded, never
-    assumed (same pattern as kg/cc.py's union-find)."""
+    """Driver-side footprint-predicate edge set (r05): ONE scan + ONE
+    bounded collect replaces the per-hop broadcast-join jobs — at CDC
+    delta rates the expansion cost was ~10 scheduled jobs per
+    revalidation, all walking the same edges.  The same collected rows
+    serve BOTH expansion directions (dependency a←b and validation-
+    context a→b), so dep + ctx expansion together cost two Spark jobs
+    total (count + collect).  Falls back to the Spark hops
+    (``collect_local_edges`` returns None) above ``cap`` edge rows —
+    the 100 TB posture: driver assists are bounded, never assumed (same
+    pattern as kg/cc.py's union-find).
 
-    def __init__(self, rows, fp: Footprint):
-        from collections import defaultdict
+    Representation (r06): edges live as numpy int code arrays over a
+    pyarrow string vocabulary instead of str→list adjacency dicts —
+    building the dicts materialized ~600k Python strings and dict
+    appends per 150k edges (~0.7 s per revalidation); the columnar
+    build is a handful of vectorized kernels (unique / index_in /
+    boolean masks), hop expansion is ``np.isin`` over the code arrays,
+    and only the (small) expansion RESULT is decoded back to strings.
+    Expansion results are sets, so the dict→array change is
+    observationally identical; ``dep``/``rdep``/``cdep``/``crdep``
+    remain available as materialized dict views for tests."""
 
-        self.dep = defaultdict(list)
-        self.rdep = defaultdict(list)
-        self.cdep = defaultdict(list)
-        self.crdep = defaultdict(list)
+    _FAMS = ("dep", "rdep", "cdep", "crdep")
+
+    def __init__(self, fp: Footprint | None = None):
+        import numpy as np
+        import pyarrow as pa
+
+        empty = np.empty(0, dtype=np.int64)
+        self._fam: dict[str, list] = {k: [empty, empty] for k in self._FAMS}
+        self._vocab = pa.array([], type=pa.string())
         self.n_rows = 0
         self.dirty = False
-        for r in rows:
-            self._apply(r[0], r[1], r[2], r[3], fp, 1)
 
     @classmethod
-    def from_columns(cls, subs, preds, objs, kinds, fp: Footprint) -> "_LocalEdges":
-        """Bulk columnar load (r06): the per-Row ``_apply`` path spent
-        ~1 s per 150k edges on Row field access and per-row membership
-        tests; here the pred-set membership is hoisted to one lookup
-        per DISTINCT predicate and the columns are plain Python lists
-        straight out of an Arrow collect."""
-        self = cls((), fp)
-        flags = {
-            p: (
-                p in fp.fwd_preds, p in fp.rec_fwd,
-                p in fp.inv_preds, p in fp.rec_inv,
-            )
-            for p in set(preds)
-        }
-        dep, rdep, cdep, crdep = self.dep, self.rdep, self.cdep, self.crdep
-        n = 0
-        for s, p, o, k in zip(subs, preds, objs, kinds):
-            fw, rf, iv, ri = flags[p]
-            resource = k == "iri" or k == "bnode"
-            hit = False
-            if fw and resource:
-                dep[o].append(s)
-                cdep[s].append(o)
-                hit = True
-            if rf and resource:
-                rdep[o].append(s)
-                crdep[s].append(o)
-                hit = True
-            if iv:
-                if resource:
-                    dep[s].append(o)
-                cdep[o].append(s)
-                hit = True
-            if ri:
-                if resource:
-                    rdep[s].append(o)
-                crdep[o].append(s)
-                hit = True
-            if hit:
-                n += 1
-        self.n_rows = n
+    def from_arrow(cls, tbl, fp: Footprint) -> "_LocalEdges":
+        """Vectorized build from the Arrow edge-collect table."""
+        import numpy as np
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        self = cls(fp)
+        subs = tbl.column("subj").combine_chunks().cast(pa.string())
+        preds = tbl.column("pred").combine_chunks()
+        objs = tbl.column("obj").combine_chunks().cast(pa.string())
+        kinds = tbl.column("obj_kind").combine_chunks()
+        vocab = pc.unique(pa.concat_arrays([subs, objs]))
+        s = pc.index_in(subs, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        o = pc.index_in(objs, value_set=vocab).to_numpy(zero_copy_only=False).astype(np.int64)
+        pv = pc.unique(preds)
+        pi = pc.index_in(preds, value_set=pv).to_numpy(zero_copy_only=False).astype(np.int64)
+        pl = pv.to_pylist()
+
+        def flag(ps):
+            return np.array([p in ps for p in pl], dtype=bool)[pi] if pl else np.zeros(0, bool)
+
+        fw, rf = flag(fp.fwd_preds), flag(fp.rec_fwd)
+        iv, ri = flag(fp.inv_preds), flag(fp.rec_inv)
+        res = np.logical_or(
+            pc.equal(kinds, "iri").to_numpy(zero_copy_only=False),
+            pc.equal(kinds, "bnode").to_numpy(zero_copy_only=False),
+        )
+        m1, m2 = fw & res, rf & res
+        m3r, m4r = iv & res, ri & res
+        cat = np.concatenate
+        self._fam["dep"] = [cat([o[m1], s[m3r]]), cat([s[m1], o[m3r]])]
+        self._fam["rdep"] = [cat([o[m2], s[m4r]]), cat([s[m2], o[m4r]])]
+        self._fam["cdep"] = [cat([s[m1], o[iv]]), cat([o[m1], s[iv]])]
+        self._fam["crdep"] = [cat([s[m2], o[ri]]), cat([o[m2], s[ri]])]
+        self._vocab = vocab
+        self.n_rows = int((m1 | m2 | iv | ri).sum())
         return self
 
-    def _upd(self, adj, key: str, val: str, sign: int) -> None:
-        if sign > 0:
-            adj[key].append(val)
-        else:
-            try:
-                adj[key].remove(val)
-            except (KeyError, ValueError):
-                # a retraction for an edge we never saw: the cache has
-                # drifted from the graph — flag it so callers rebuild
-                self.dirty = True
+    # --- test/debug views (same shape the old dict adjacency had) ------------
 
-    def _apply(self, s, p, o, k, fp: Footprint, sign: int) -> None:
-        resource = k in ("iri", "bnode")
+    def _as_dict(self, key: str) -> dict:
+        from collections import defaultdict
+
+        vocab = self._vocab.to_pylist()
+        a, b = self._fam[key]
+        out: dict = defaultdict(list)
+        for ai, bi in zip(a.tolist(), b.tolist()):
+            out[vocab[ai]].append(vocab[bi])
+        return out
+
+    @property
+    def dep(self):
+        return self._as_dict("dep")
+
+    @property
+    def rdep(self):
+        return self._as_dict("rdep")
+
+    @property
+    def cdep(self):
+        return self._as_dict("cdep")
+
+    @property
+    def crdep(self):
+        return self._as_dict("crdep")
+
+    # --- delta maintenance -----------------------------------------------------
+
+    def _codes_of(self, strings: list[str], extend: bool):
+        """codes for ``strings`` against the vocab; ``extend=True``
+        appends unseen strings to the vocab first (additions), else
+        unseen maps to None (retraction of an unknown node → drift)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        arr = pa.array(strings, type=pa.string())
+        codes = pc.index_in(arr, value_set=self._vocab)
+        if extend and codes.null_count:
+            missing = pc.unique(arr.filter(pc.is_null(codes)))
+            self._vocab = pa.concat_arrays([self._vocab, missing])
+            codes = pc.index_in(arr, value_set=self._vocab)
+        return codes.to_pylist()
+
+    def _edge_updates(self, d: dict, fp: Footprint):
+        """(family, a, b) string updates for one triple row — the exact
+        edge semantics of the columnar build above."""
+        s, p, o = d["subj"], d["pred"], d["obj"]
+        resource = d["obj_kind"] in ("iri", "bnode")
+        ups: list[tuple[str, str, str]] = []
         hit = False
         if p in fp.fwd_preds and resource:
-            self._upd(self.dep, o, s, sign)
-            self._upd(self.cdep, s, o, sign)
+            ups += [("dep", o, s), ("cdep", s, o)]
             hit = True
         if p in fp.rec_fwd and resource:
-            self._upd(self.rdep, o, s, sign)
-            self._upd(self.crdep, s, o, sign)
+            ups += [("rdep", o, s), ("crdep", s, o)]
             hit = True
         if p in fp.inv_preds:
             if resource:
-                self._upd(self.dep, s, o, sign)
-            self._upd(self.cdep, o, s, sign)
+                ups.append(("dep", s, o))
+            ups.append(("cdep", o, s))
             hit = True
         if p in fp.rec_inv:
             if resource:
-                self._upd(self.rdep, s, o, sign)
-            self._upd(self.crdep, o, s, sign)
+                ups.append(("rdep", s, o))
+            ups.append(("crdep", o, s))
             hit = True
-        if hit:
-            self.n_rows += sign
+        return ups, hit
 
     def apply_delta(self, rows, fp: Footprint) -> "_LocalEdges":
-        """Maintain the adjacency across a NET graph delta (r05
+        """Maintain the edge set across a NET graph delta (r05
         streaming steady state): ``rows`` carry the six triple columns
         and optionally an ``op`` column ('-' retracts, anything else
         adds).  Rows must be the exact live-set delta (both sinks'
         ``_compute_delta`` guarantee this) or ``dirty`` trips and the
         caller rebuilds."""
+        import numpy as np
+
+        adds: dict[str, list[tuple[str, str]]] = {k: [] for k in self._FAMS}
+        removes: dict[str, list[tuple[str, str]]] = {k: [] for k in self._FAMS}
         for r in rows:
             d = r.asDict() if hasattr(r, "asDict") else r
             sign = -1 if d.get("op") == "-" else 1
-            self._apply(d["subj"], d["pred"], d["obj"], d["obj_kind"], fp, sign)
+            ups, hit = self._edge_updates(d, fp)
+            for fam, a, b in ups:
+                (adds if sign > 0 else removes)[fam].append((a, b))
+            if hit:
+                self.n_rows += sign
+        add_strs = sorted({x for ps in adds.values() for p_ in ps for x in p_})
+        if add_strs:
+            self._codes_of(add_strs, extend=True)
+        for fam in self._FAMS:
+            a_arr, b_arr = self._fam[fam]
+            if adds[fam]:
+                pairs = adds[fam]
+                ac = self._codes_of([p_[0] for p_ in pairs], extend=True)
+                bc = self._codes_of([p_[1] for p_ in pairs], extend=True)
+                a_arr = np.concatenate([a_arr, np.array(ac, dtype=np.int64)])
+                b_arr = np.concatenate([b_arr, np.array(bc, dtype=np.int64)])
+            if removes[fam]:
+                pairs = removes[fam]
+                ac = self._codes_of([p_[0] for p_ in pairs], extend=False)
+                bc = self._codes_of([p_[1] for p_ in pairs], extend=False)
+                drop: list[int] = []
+                taken: set[int] = set()
+                for aci, bci in zip(ac, bc):
+                    if aci is None or bci is None:
+                        self.dirty = True
+                        continue
+                    idx = np.nonzero((a_arr == aci) & (b_arr == bci))[0]
+                    found = next((int(i) for i in idx if int(i) not in taken), None)
+                    if found is None:
+                        # retraction for an edge we never saw: the cache
+                        # drifted from the graph — flag for rebuild
+                        self.dirty = True
+                    else:
+                        taken.add(found)
+                        drop.append(found)
+                if drop:
+                    a_arr = np.delete(a_arr, drop)
+                    b_arr = np.delete(b_arr, drop)
+            self._fam[fam] = [a_arr, b_arr]
         return self
 
-    @staticmethod
-    def _hop(adj) -> object:
-        return lambda frontier: {
-            b for a in frontier for b in adj.get(a, ())
-        }
+    # --- expansion ---------------------------------------------------------------
+
+    def _hop_np(self, fam: str):
+        import numpy as np
+
+        a, b = self._fam[fam]
+
+        def hop(frontier):
+            if not frontier:
+                return set()
+            fr = np.fromiter(frontier, dtype=np.int64, count=len(frontier))
+            return set(b[np.isin(a, fr)].tolist())
+
+        return hop
+
+    def _expand(self, dfam: str, rfam: str, fp: Footprint, seeds, cap):
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        seeds = set(seeds)
+        codes = pc.index_in(
+            pa.array(list(seeds), type=pa.string()), value_set=self._vocab
+        )
+        seed_codes = {c for c in codes.to_pylist() if c is not None}
+        hop_d = self._hop_np(dfam) if (fp.fwd_preds or fp.inv_preds) else None
+        hop_r = self._hop_np(rfam) if (fp.rec_fwd or fp.rec_inv) else None
+        acc = _expand_generic(seed_codes, hop_d, hop_r, fp.depth, cap)
+        if acc is None:
+            return None
+        decoded = self._vocab.take(
+            pa.array(list(acc), type=pa.int64())
+        ).to_pylist()
+        return seeds | set(decoded)
 
     def expand_dep(self, fp: Footprint, seeds, cap):
-        hop_d = self._hop(self.dep) if (fp.fwd_preds or fp.inv_preds) else None
-        hop_r = self._hop(self.rdep) if (fp.rec_fwd or fp.rec_inv) else None
-        return _expand_generic(seeds, hop_d, hop_r, fp.depth, cap)
+        return self._expand("dep", "rdep", fp, seeds, cap)
 
     def expand_ctx(self, fp: Footprint, seeds, cap):
-        hop_d = self._hop(self.cdep) if (fp.fwd_preds or fp.inv_preds) else None
-        hop_r = self._hop(self.crdep) if (fp.rec_fwd or fp.rec_inv) else None
-        return _expand_generic(seeds, hop_d, hop_r, fp.depth, cap)
+        return self._expand("cdep", "crdep", fp, seeds, cap)
 
 
 def collect_local_edges(
@@ -599,14 +706,7 @@ def collect_local_edges(
     # lands the edges columnar (pickled-Row collect was ~3 s at 150k)
     if ef.count() > cap:
         return None
-    tbl = ef.toArrow()
-    return _LocalEdges.from_columns(
-        tbl.column("subj").to_pylist(),
-        tbl.column("pred").to_pylist(),
-        tbl.column("obj").to_pylist(),
-        tbl.column("obj_kind").to_pylist(),
-        fp,
-    )
+    return _LocalEdges.from_arrow(ef.toArrow(), fp)
 
 
 

@@ -86,6 +86,10 @@ class Store:
         self.p_subj: dict[str, set[str]] = defaultdict(set)
         self.p_obj: dict[str, list[tuple[str, Term]]] = defaultdict(list)
         self.all: list[tuple[str, str, Term]] = []
+        # per-predicate object-key → subjects index, built lazily on the
+        # first inverse-path use (r06): the linear p_obj scan per focus
+        # node was the interpreter's hottest loop on incremental slices
+        self._inv_idx: dict[str, dict[tuple, list[str]]] = {}
         for row in rows:
             s, p = row[0], row[1]
             t = _term(row)
@@ -96,6 +100,18 @@ class Store:
 
     def objects(self, s: str, p: str) -> list[Term]:
         return self.sp.get(s, {}).get(p, [])
+
+    def inv_index(self, p: str) -> dict[tuple, list[str]]:
+        """Subjects per object-term key for one predicate — the lists
+        preserve ``p_obj`` insertion order, so lookups return exactly
+        what the linear filter returned."""
+        idx = self._inv_idx.get(p)
+        if idx is None:
+            idx = {}
+            for s, t in self.p_obj.get(p, ()):
+                idx.setdefault(tkey(t), []).append(s)
+            self._inv_idx[p] = idx
+        return idx
 
     def subclass_closure(self) -> dict[str, set[str]]:
         """cls → all (reflexive-transitive) superclasses."""
@@ -276,8 +292,7 @@ class Oracle:
             if isinstance(inner, PredicatePath):
                 return [
                     Term(s, "bnode" if s.startswith("_:") else "iri")
-                    for s, t in self.store.p_obj.get(inner.iri, [])
-                    if tkey(t) == tkey(node)
+                    for s in self.store.inv_index(inner.iri).get(tkey(node), ())
                 ]
             # general inverse: rewrite algebraically
             if isinstance(inner, InversePath):
@@ -299,8 +314,9 @@ class Oracle:
                 seen: set = set()
                 for n in frontier:
                     for v in self.path_values(step, n):
-                        if tkey(v) not in seen:
-                            seen.add(tkey(v))
+                        k = tkey(v)
+                        if k not in seen:
+                            seen.add(k)
                             nxt.append(v)
                 frontier = nxt
             return frontier
@@ -308,15 +324,17 @@ class Oracle:
             out, seen = [], set()
             for opt in path.options:
                 for v in self.path_values(opt, node):
-                    if tkey(v) not in seen:
-                        seen.add(tkey(v))
+                    k = tkey(v)
+                    if k not in seen:
+                        seen.add(k)
                         out.append(v)
             return out
         if isinstance(path, ZeroOrOnePath):
             out, seen = [node], {tkey(node)}
             for v in self.path_values(path.inner, node):
-                if tkey(v) not in seen:
-                    seen.add(tkey(v))
+                k = tkey(v)
+                if k not in seen:
+                    seen.add(k)
                     out.append(v)
             return out
         if isinstance(path, (ZeroOrMorePath, OneOrMorePath)):
@@ -328,16 +346,18 @@ class Oracle:
             out, seen = [], set()
             frontier = []
             for v in seed:
-                if tkey(v) not in seen:
-                    seen.add(tkey(v))
+                k = tkey(v)
+                if k not in seen:
+                    seen.add(k)
                     out.append(v)
                     frontier.append(v)
             while frontier:
                 nxt = []
                 for n in frontier:
                     for v in self.path_values(path.inner, n):
-                        if tkey(v) not in seen:
-                            seen.add(tkey(v))
+                        k = tkey(v)
+                        if k not in seen:
+                            seen.add(k)
                             out.append(v)
                             nxt.append(v)
                 frontier = nxt
@@ -351,8 +371,9 @@ class Oracle:
         seen: set = set()
 
         def add(t: Term):
-            if tkey(t) not in seen:
-                seen.add(tkey(t))
+            k = tkey(t)
+            if k not in seen:
+                seen.add(k)
                 out.append(t)
 
         for t in shape.target_nodes:
@@ -404,8 +425,9 @@ class Oracle:
             # value nodes are a SET (SPEC §2.3.3)
             values, seen_keys = [], set()
             for v in raw:
-                if tkey(v) not in seen_keys:
-                    seen_keys.add(tkey(v))
+                k = tkey(v)
+                if k not in seen_keys:
+                    seen_keys.add(k)
                     values.append(v)
         else:
             values = [focus]

@@ -103,9 +103,15 @@ class TripleUpsertSink:
 
     def _append(self, applied: DataFrame) -> None:
         """Append a precomputed delta (from :meth:`_compute_delta`)
-        through the file-commit protocol."""
+        through the file-commit protocol.  The delta is clustered by
+        ``part`` first so each touched partition directory receives ONE
+        file per batch instead of one per (task × part) — a k-task
+        delta otherwise commits k×|touched| tiny files, and the commit
+        protocol's per-file rename dominates small-batch appends
+        (guide §6 "small files hurt twice")."""
         (
             applied.drop("tid")
+            .repartition(F.col("part"))
             .write.mode("append")
             .partitionBy("part")
             .parquet(self.target_dir)
