@@ -65,6 +65,35 @@ def test_streaming_triple_upsert(spark, tmp_path):
     assert {r["subj"] for r in final.collect()} == {"ex:s1", "ex:s2", "ex:s3"}
 
 
+def test_upsert_append_one_file_per_partition(spark, tmp_path):
+    """The append clusters the delta by target partition (r06): each
+    touched part= directory must receive ONE data file per batch, not
+    one per (task x partition) — tiny-file commits dominated
+    small-batch appends."""
+    from shacl_spark.functions.terms import TRIPLE_SCHEMA
+    from shacl_spark.streaming.upsert import TripleUpsertSink
+
+    target = str(tmp_path / "t")
+    rows = [
+        (f"ex:s{i}", "ex:p", f"v{i}", "literal", None, None, None, None, None, None)
+        for i in range(64)
+    ]
+    # a many-partition batch frame would previously fan out into many
+    # files per part= directory
+    batch = spark.createDataFrame(rows, TRIPLE_SCHEMA).repartition(8)
+    sink = TripleUpsertSink(spark, target, n_parts=4)
+    sink._merge_batch(batch, 0)
+    for d in os.listdir(target):
+        if not d.startswith("part="):
+            continue
+        files = [
+            f for f in os.listdir(os.path.join(target, d))
+            if f.endswith(".parquet")
+        ]
+        assert len(files) == 1, (d, files)
+    assert sink.current().count() == 64
+
+
 def test_fixture_export(tmp_path, monkeypatch):
     import fixtures.export as ex
 
