@@ -176,7 +176,36 @@ class StreamingValidator:
         shutil.rmtree(self._delta_dir(epoch_id), ignore_errors=True)
 
     def _on_batch(self, batch: DataFrame, epoch_id: int) -> None:
-        fp = self._batch_fp(batch)
+        applied = None
+        if not self.cdc:
+            # fold the content fingerprint into the delta computation
+            # (r06): an Observation on the RAW batch resolves on
+            # _compute_delta's own materialization, so the fingerprint
+            # stops being a separate batch-scan job.  The metrics sit
+            # below the dedup/anti-join, so they cover every raw row —
+            # exactly what _batch_fp computed.  (The cdc sink reads the
+            # batch twice in one plan — net-op groupBy + dedup join —
+            # where an observed node would double-count, so that path
+            # keeps the standalone fingerprint job.)  On an epoch
+            # replay the precomputed delta is simply discarded — the
+            # journal is authoritative there, and replays are rare.
+            from pyspark.sql import Observation
+
+            from shacl_spark.functions.terms import triple_id
+
+            obs = Observation()
+            key = triple_id()
+            observed = batch.observe(
+                obs,
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.xxhash64(key).cast("decimal(38,0)")).alias("s"),
+                F.sum(F.xxhash64(key, F.lit("\x02fp2")).cast("decimal(38,0)")).alias("s2"),
+            )
+            applied = self.sink._compute_delta(observed)
+            got = obs.get
+            fp = f"{got['n']}_{got['s']}_{got['s2']}"
+        else:
+            fp = self._batch_fp(batch)
         # a committed journal is authoritative ONLY for the same batch
         # content: a restarted (checkpoint-less) stream reuses epoch
         # ids, and that collision must fall through to the normal path
@@ -222,7 +251,7 @@ class StreamingValidator:
             delta = added.unionByName(removed)
             journal = applied.drop("tid")
         else:
-            applied = self.sink._compute_delta(batch)
+            # applied was computed above alongside the fingerprint
             if applied.isEmpty():
                 return  # fully-duplicate batch (or completed epoch whose
                 #         journal was already pruned): report stands
