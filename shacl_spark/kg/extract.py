@@ -321,11 +321,20 @@ def extract_triples(corpus: DataFrame, n_parts: int = 1024) -> DataFrame:
         _t(f, KG + "sha256", F.sha2(F.col("content"), 256), "literal", XSD_STRING),
         _t(f, KG + "lang", F.col("lang"), "literal", XSD_STRING),
     )
+    # a corpus that already carries a ``mentions`` column (the fused
+    # generation stage in sources/corpus.py — SAME kernel) skips the
+    # second JVM↔Python boundary entirely; any other corpus pays the
+    # one Arrow UDF stage as before
+    mention_arr = (
+        F.col("mentions")
+        if "mentions" in corpus.columns
+        else _mentions_udf("content", "lang")
+    )
     all_arr = F.array_distinct(
         F.concat(
             prov,
             F.flatten(
-                F.transform(_mentions_udf("content", "lang"), lambda m: _mention_fanout(f, m))
+                F.transform(mention_arr, lambda m: _mention_fanout(f, m))
             ),
         )
     )

@@ -104,16 +104,49 @@ def gen_rows(n: int, start: int = 0) -> list[tuple[str, str, str, str, str]]:
     return [gen_file(i) for i in range(start, start + n)]
 
 
-def synth_corpus(spark: SparkSession, n_files: int, parts: int | None = None) -> DataFrame:
+def synth_corpus(
+    spark: SparkSession,
+    n_files: int,
+    parts: int | None = None,
+    with_mentions: bool = True,
+) -> DataFrame:
     """Distributed generation: ``spark.range`` → ``mapInPandas``.
 
     Narrow (no shuffle); each task generates only its index slice.
-    """
+
+    ``with_mentions=True`` (default) additionally runs the mention
+    extractor (kg/extract.extract_mentions_batch — the SAME kernel the
+    Arrow UDF applies) inside the generation stage and emits the
+    result as a ``mentions`` column.  extract_triples consumes it when
+    present, so generation + mention detection cross the JVM↔Python
+    boundary ONCE instead of twice (guide §4: each mapInPandas /
+    pandas-UDF stage pays a per-task Python-runner round trip — at the
+    bench's frozen 128-partition contract that second stage alone cost
+    ~0.5 s of pure machinery).  Triples are identical either way (same
+    kernel, same content)."""
     parts = parts or max(spark.sparkContext.defaultParallelism, 8)
 
-    def gen(batches):
+    if with_mentions:
+        from shacl_spark.kg.extract import MENTION_SCHEMA, extract_mentions_batch
+
+        schema = T.StructType(
+            list(CORPUS_SCHEMA.fields) + [T.StructField("mentions", MENTION_SCHEMA, False)]
+        )
+
+        def gen(batches):
+            for pdf in batches:
+                rows = [gen_file(int(i)) for i in pdf["id"]]
+                out = pd.DataFrame(
+                    rows, columns=["repo", "path", "commit", "lang", "content"]
+                )
+                out["mentions"] = extract_mentions_batch(out["content"], out["lang"])
+                yield out
+
+        return spark.range(0, n_files, numPartitions=parts).mapInPandas(gen, schema)
+
+    def gen_plain(batches):
         for pdf in batches:
             rows = [gen_file(int(i)) for i in pdf["id"]]
             yield pd.DataFrame(rows, columns=["repo", "path", "commit", "lang", "content"])
 
-    return spark.range(0, n_files, numPartitions=parts).mapInPandas(gen, CORPUS_SCHEMA)
+    return spark.range(0, n_files, numPartitions=parts).mapInPandas(gen_plain, CORPUS_SCHEMA)

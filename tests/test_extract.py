@@ -117,6 +117,17 @@ def test_mentions_batch_vectorized():
     assert ("import", "b") in kinds1 and ("func", "h") in kinds1 and ("call", "k") in kinds1
 
 
+def test_fused_mentions_equal_udf_path(spark):
+    """A corpus carrying the fused ``mentions`` column (r06) must
+    produce exactly the triples the Arrow-UDF path produces."""
+    fused = X.extract_triples(synth_corpus(spark, N_FILES, parts=4), n_parts=16)
+    plain = X.extract_triples(
+        synth_corpus(spark, N_FILES, parts=4, with_mentions=False), n_parts=16
+    )
+    key = lambda r: tuple(r)  # noqa: E731
+    assert sorted(map(key, fused.collect())) == sorted(map(key, plain.collect()))
+
+
 def test_part_id_deterministic(spark):
     corpus = synth_corpus(spark, 20, parts=2)
     a = X.extract_triples(corpus, n_parts=64).select("subj", "part_id").distinct()
