@@ -44,9 +44,19 @@ def test_extraction_is_shuffle_free_single_python_stage(spark):
     from shacl_spark.kg.extract import extract_triples
     from shacl_spark.sources.corpus import synth_corpus
 
+    # fused corpus (r06): mention detection runs INSIDE the generation
+    # MapInPandas — zero separate Arrow UDF stages, one Python crossing
     plan = _plan(extract_triples(synth_corpus(spark, 100, parts=4)))
     assert plan.count("Exchange") == 0, "extraction must stay a narrow map plan"
-    assert plan.count("ArrowEvalPython") == 1, "exactly ONE Arrow UDF crossing"
+    assert plan.count("ArrowEvalPython") == 0, "fused path has NO separate UDF stage"
+    assert plan.count("MapInPandas") == 1, "one Python crossing total"
+
+    # a corpus without the fused column still pays exactly ONE Arrow UDF
+    plan2 = _plan(
+        extract_triples(synth_corpus(spark, 100, parts=4, with_mentions=False))
+    )
+    assert plan2.count("Exchange") == 0, "extraction must stay a narrow map plan"
+    assert plan2.count("ArrowEvalPython") == 1, "exactly ONE Arrow UDF crossing"
 
 
 def test_semi_anti_join_shapes(spark, queries):
